@@ -1,0 +1,34 @@
+"""sparkbm25 — a PySpark-native inverted-index build + BM25 query engine.
+
+A from-scratch Spark-first re-expression of the capabilities that
+ICIJ/es-translator delegates to Elasticsearch/Lucene (query_string
+full-text retrieval, BM25 ranking, inverted indexing, shard routing,
+scroll scan) plus the reference's own pipeline semantics (plan/resume,
+skew-aware distribution, throughput metrics) — see SURVEY.md.
+
+Input table shape (BASELINE.json input_hint):
+    (conv_id: string, turn_idx: int32, role: string,
+     text: string, tool: string, ts: timestamp)
+
+Public surface:
+    IndexConfig            — job config (ref: es_translator/es_translator.py:136-163)
+    build_index            — SPIMI-style index build (ref: scan→pipeline→sink dataflow)
+    Searcher / search_batch — BM25 top-k query engine (ref: es_translator.py:313-323
+                              delegates this to ES query_string; here it is native)
+    bm25_reference_topk    — brute-force numpy parity oracle
+"""
+
+from sparkbm25.config import IndexConfig
+from sparkbm25.build import build_index
+from sparkbm25.search import Searcher, search_batch
+from sparkbm25.refscore import bm25_reference_topk
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "IndexConfig",
+    "build_index",
+    "Searcher",
+    "search_batch",
+    "bm25_reference_topk",
+]

@@ -1,0 +1,296 @@
+"""SPIMI-style inverted-index build pipeline (SURVEY §3.1 Spark rebuild).
+
+Reference dataflow being re-expressed (es_translator/es_translator.py):
+scroll scan (S1) → projection (S4) → idempotency filter (F2) →
+per-row transform (P1) → sink (S5), with plan/resume (X3) and
+throughput metrics (X5/monitor). Here the "transform" is tokenization
+and the "sink" is the index itself.
+
+Stages (each is a committed, resumable checkpoint):
+  1. 'tf'       assign stable doc_ords, tokenize (Arrow UDF), write the
+                forward table + global stats + the (term, doc_ord, tf,
+                dl, salt) run table partitioned by term_bucket — these
+                are the SPIMI runs; Spark's sort-merge shuffle is the
+                SPIMI merge.
+  2. 'segments' per chunk of term_buckets: group runs by (term, salt)
+                and encode delta+varint blocks with block-max metadata
+                (applyInPandas, numpy codec). Salt buckets are
+                doc_ord-RANGE-disjoint, so a hot term's postings are
+                built by n_salt_buckets independent tasks and merge by
+                concatenation — no single reducer ever sees the whole
+                Zipf head (SURVEY §4.2 skew strategy; AQE is backstop).
+  3. 'terms'    term dictionary (term → df) aggregated from segments.
+
+Scale notes (100 TB / 1e12 turns):
+  - per-occurrence rows carry only (term, doc_ord, tf, dl) — nothing
+    wider (SURVEY §7.3).
+  - groupBy(term, doc_ord) gets map-side partial aggregation from
+    Catalyst automatically; the only wide rows (posting blocks) are
+    bounded by block_size and salt-split.
+  - doc_ord assignment is a rangepartition + per-partition offsets
+    join (broadcast) — no global window, no driver collect of data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from sparkbm25 import catalog
+from sparkbm25.analysis import make_tokens_udf
+from sparkbm25.codec import encode_blocks
+from sparkbm25.config import IndexConfig
+
+SEGMENT_SCHEMA = (
+    "term_bucket int, term string, salt int, n_docs bigint, "
+    "blocks array<struct<first_doc:bigint,n:int,gaps:binary,tfs:binary,"
+    "dls:binary,max_impact:double>>"
+)
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    seconds: float
+    turns_per_sec: float
+
+
+def assign_doc_ords(df: DataFrame, config: IndexConfig) -> DataFrame:
+    """Stable dense docID by (conv_id, turn_idx) order (SURVEY §7.0 O4).
+
+    Scale-safe: range-repartition + partition-local index via
+    mapInPandas + broadcast join of per-partition offsets. No global
+    window (which would single-partition 1e12 rows), no zipWithIndex
+    RDD detour. Returns df + (pid, doc_ord), persisted.
+    """
+    spark = df.sparkSession
+    n_part = config.n_doc_partitions or spark.sparkContext.defaultParallelism
+    dfp = (
+        df.repartitionByRange(n_part, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(dfp.schema.fields + [StructField("local_idx", LongType())])
+
+    def add_local_idx(batches):
+        off = 0
+        for pdf in batches:
+            pdf = pdf.assign(local_idx=np.arange(off, off + len(pdf), dtype=np.int64))
+            off += len(pdf)
+            yield pdf
+
+    dfl = dfp.mapInPandas(add_local_idx, schema=out_schema)
+    # persist: the range partitioner samples; pin the partitioning so
+    # the count job and downstream see identical placement.
+    dfl = dfl.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = dfl.groupBy("pid").count().toPandas().sort_values("pid")
+    offsets = counts["count"].cumsum().shift(fill_value=0).astype("int64")
+    offsets_df = spark.createDataFrame(
+        pd.DataFrame({"pid": counts["pid"].astype("int32"), "offset": offsets}),
+        schema="pid int, offset bigint",
+    )
+    return (
+        dfl.join(F.broadcast(offsets_df), "pid")
+        .withColumn("doc_ord", (F.col("offset") + F.col("local_idx")).cast("bigint"))
+        .drop("offset", "local_idx")
+    )
+
+
+def _make_segment_builder(k1: float, b: float, avgdl: float, block_size: int):
+    def build_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term_bucket, term, salt = key
+        pdf = pdf.sort_values("doc_ord", kind="mergesort")
+        blocks = encode_blocks(
+            pdf["doc_ord"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.int64),
+            k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+        )
+        return pd.DataFrame(
+            {
+                "term_bucket": [int(term_bucket)],
+                "term": [term],
+                "salt": [int(salt)],
+                "n_docs": [len(pdf)],
+                "blocks": [blocks],
+            }
+        )
+
+    return build_segment
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    config: IndexConfig = IndexConfig(),
+    *,
+    resume: bool = False,
+    input_desc: str = "",
+) -> BuildResult:
+    """Build (or resume building) the inverted index at index_dir.
+
+    resume=False wipes index_dir (the reference's --force, cli.py:147);
+    resume=True anti-joins the manifest and only builds what is missing
+    (idempotency predicate analog, es_translator/es.py:131-150).
+    """
+    t0 = time.time()
+    lineage = f"{config.config_hash()}:{input_desc}"
+
+    if not resume and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    catalog.clear_staging(index_dir)
+
+    done = catalog.done_set(catalog.read_manifest(index_dir), lineage) if resume else set()
+
+    # ---------------- stage 1: docs + stats + tf runs -----------------
+    if ("tf", -1) in done:
+        stats = catalog.read_stats(index_dir)
+        n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    else:
+        s0 = time.time()
+        tokens_udf = make_tokens_udf(config.token_pattern, config.max_content_length)
+        with_ord = assign_doc_ords(transcripts, config)
+        df_tok = (
+            with_ord
+            .withColumn("tokens", tokens_udf("text"))
+            .withColumn("dl", F.size("tokens").cast("bigint"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        # forward table (doc_ord ↔ (conv_id, turn_idx), dl) — needed for
+        # top-k id resolution and the text-equality invariant check.
+        catalog_docs = catalog.staging_dir(index_dir, "docs")
+        (
+            df_tok.select("doc_ord", "conv_id", "turn_idx", "dl")
+            .write.mode("overwrite").parquet(catalog_docs)
+        )
+        catalog.commit_staging(index_dir, "docs", catalog.docs_dir(index_dir))
+
+        agg = df_tok.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        n_docs = int(agg["n"])
+        sum_dl = int(agg["sum_dl"] or 0)
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+        nb, ns = config.n_term_buckets, config.n_salt_buckets
+        tf = (
+            df_tok.select("doc_ord", "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_ord")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
+            .withColumn(
+                "salt",
+                F.least(
+                    F.lit(ns - 1),
+                    F.floor(F.col("doc_ord") * ns / F.lit(max(n_docs, 1))),
+                ).cast("int"),
+            )
+        )
+        tf_staging = catalog.staging_dir(index_dir, "tf")
+        tf.write.mode("overwrite").partitionBy("term_bucket").parquet(tf_staging)
+        catalog.commit_staging(index_dir, "tf", catalog.tf_dir(index_dir))
+        df_tok.unpersist()
+
+        catalog.write_stats(
+            index_dir,
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "sum_dl": sum_dl,
+                "config": config.to_json(),
+                "lineage": lineage,
+            },
+        )
+        s1 = time.time()
+        catalog.append_manifest(index_dir, _mrow(
+            "tf", -1, n_docs, 0, s0, s1, lineage))
+
+    # ---------------- stage 2: segments, chunked ----------------------
+    k1, b, bs = config.k1, config.b, config.block_size
+    builder = _make_segment_builder(k1, b, float(avgdl), bs)
+    n_chunks = max(1, min(config.n_build_chunks, config.n_term_buckets))
+    for chunk in range(n_chunks):
+        if ("segments", chunk) in done:
+            continue
+        c0 = time.time()
+        buckets = [bk for bk in range(config.n_term_buckets) if bk % n_chunks == chunk]
+        tf_chunk = (
+            spark.read.parquet(catalog.tf_dir(index_dir))
+            .where(F.col("term_bucket").isin(buckets))  # partition pruning
+        )
+        seg = tf_chunk.groupBy("term_bucket", "term", "salt").applyInPandas(
+            builder, schema=SEGMENT_SCHEMA
+        )
+        stage_name = f"segchunk{chunk}"
+        seg.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            catalog.staging_dir(index_dir, stage_name)
+        )
+        catalog.commit_staging(
+            index_dir, stage_name, catalog.segments_chunk_dir(index_dir, chunk)
+        )
+        row = (
+            spark.read.parquet(catalog.segments_chunk_dir(index_dir, chunk))
+            .agg(F.count(F.lit(1)).alias("rows"), F.sum("n_docs").alias("postings"))
+            .collect()[0]
+        )
+        c1 = time.time()
+        catalog.append_manifest(index_dir, _mrow(
+            "segments", chunk, int(row["postings"] or 0), int(row["rows"]), c0, c1, lineage))
+
+    # ---------------- stage 3: term dictionary ------------------------
+    if ("terms", -1) not in done:
+        d0 = time.time()
+        segs = spark.read.parquet(catalog.segments_dir(index_dir))
+        terms = (
+            segs.groupBy("term")
+            .agg(F.sum("n_docs").alias("df"), F.first("term_bucket").alias("term_bucket"))
+        )
+        terms.write.mode("overwrite").parquet(catalog.staging_dir(index_dir, "terms"))
+        catalog.commit_staging(index_dir, "terms", catalog.terms_dir(index_dir))
+        n_terms = spark.read.parquet(catalog.terms_dir(index_dir)).count()
+        d1 = time.time()
+        catalog.append_manifest(index_dir, _mrow(
+            "terms", -1, 0, n_terms, d0, d1, lineage))
+
+    seconds = time.time() - t0
+    return BuildResult(
+        index_dir=index_dir,
+        n_docs=n_docs,
+        avgdl=float(avgdl),
+        seconds=seconds,
+        turns_per_sec=(n_docs / seconds) if seconds > 0 else 0.0,
+    )
+
+
+def _mrow(stage: str, pid: int, n_turns: int, n_terms: int,
+          t_start: float, t_end: float, lineage: str) -> dict:
+    secs = max(t_end - t_start, 1e-9)
+    return {
+        "stage": stage,
+        "partition_id": pid,
+        "status": "done",
+        "n_turns": n_turns,
+        "n_terms": n_terms,
+        "seconds": secs,
+        "turns_per_sec": n_turns / secs,
+        "started_at": pd.Timestamp(t_start, unit="s"),
+        "finished_at": pd.Timestamp(t_end, unit="s"),
+        "lineage": lineage,
+    }

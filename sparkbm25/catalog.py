@@ -1,0 +1,141 @@
+"""Index table layout + manifest IO.
+
+A thin IO layer so plain Parquet and Iceberg are interchangeable
+(SURVEY §7.3 — the sandbox has no Iceberg catalog jar; the design only
+needs (a) partition-granular atomic commit and (b) a manifest table).
+Atomic commit here = write to a staging dir + `os.rename` (atomic on
+POSIX/HDFS; on an object store you would commit through Iceberg
+instead — same call sites).
+
+Layout under <index_dir>/:
+    docs/                 forward table (doc_ord, conv_id, turn_idx, dl)
+    tf/                   stage-1 SPIMI runs: (term, doc_ord, tf, dl,
+                          salt) partitioned by term_bucket
+    segments/chunk=J/     stage-2 posting segments, partitioned by
+                          term_bucket inside each committed chunk
+    terms/                term dictionary (term, df, term_bucket)
+    stats.json            N, avgdl, config (job lineage)
+    manifest/             append-only build manifest (FIXTURES.md §4)
+
+The manifest is the analog of the reference's Celery plan + per-worker
+progress state (es_translator/es_translator.py:124-134,
+monitor.py:133-203): it is what makes a build resumable and carries
+per-partition lineage + throughput metrics (north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_COLUMNS = {
+    "stage": "str",            # 'tf' | 'segments' | 'terms'
+    "partition_id": "int32",   # chunk id for 'segments', -1 otherwise
+    "status": "str",           # 'done'
+    "n_turns": "int64",
+    "n_terms": "int64",
+    "seconds": "float64",
+    "turns_per_sec": "float64",
+    "started_at": "datetime64[us]",
+    "finished_at": "datetime64[us]",
+    "lineage": "str",          # config_hash + input descriptor
+}
+
+
+def docs_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "docs")
+
+
+def tf_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tf")
+
+
+def segments_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def segments_chunk_dir(index_dir: str, chunk: int) -> str:
+    return os.path.join(segments_dir(index_dir), f"chunk={chunk}")
+
+
+def terms_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "terms")
+
+
+def manifest_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest")
+
+
+def stats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats.json")
+
+
+def staging_dir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, "_staging", name)
+
+
+def clear_staging(index_dir: str) -> None:
+    """Drop leftovers of a crashed run; committed data is never here."""
+    shutil.rmtree(os.path.join(index_dir, "_staging"), ignore_errors=True)
+
+
+def commit_staging(index_dir: str, name: str, final_path: str) -> None:
+    """Atomic promote: staging/<name> -> final_path."""
+    src = staging_dir(index_dir, name)
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    os.rename(src, final_path)
+
+
+def write_stats(index_dir: str, stats: dict) -> None:
+    tmp = stats_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f, sort_keys=True)
+    os.replace(tmp, stats_path(index_dir))
+
+
+def read_stats(index_dir: str) -> dict:
+    with open(stats_path(index_dir)) as f:
+        return json.load(f)
+
+
+def append_manifest(index_dir: str, row: dict) -> None:
+    """Append one manifest row: driver-side pyarrow write + rename.
+
+    Small and atomic — no Spark job per bookkeeping row (the reference
+    pays one Redis round-trip per task instead, tasks.py:8-9).
+    """
+    d = manifest_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    pdf = pd.DataFrame([row])
+    for col, dt in MANIFEST_COLUMNS.items():
+        pdf[col] = pdf[col].astype(dt)
+    pdf = pdf[list(MANIFEST_COLUMNS)]
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(d, "." + name)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(d, name))
+
+
+def read_manifest(index_dir: str) -> pd.DataFrame:
+    d = manifest_dir(index_dir)
+    if not os.path.isdir(d) or not os.listdir(d):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in MANIFEST_COLUMNS.items()})
+    return pq.read_table(d).to_pandas()
+
+
+def done_set(manifest: pd.DataFrame, lineage: str) -> set[tuple[str, int]]:
+    """(stage, partition_id) pairs already committed for THIS job
+    (lineage must match — a config change invalidates the checkpoint,
+    like the reference's force flag semantics, es.py:119)."""
+    if manifest.empty:
+        return set()
+    ok = manifest[(manifest["status"] == "done") & (manifest["lineage"] == lineage)]
+    return set(zip(ok["stage"], ok["partition_id"].astype(int)))

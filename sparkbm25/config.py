@@ -1,0 +1,65 @@
+"""Job configuration.
+
+Mirrors the reference's serializable ``options`` dict
+(es_translator/es_translator.py:66-91, :136-163) which round-trips
+through Celery so a job can be planned on one node and executed on
+others. Here the config is hashed into the build manifest so a resumed
+run can verify it is continuing the *same* job (lineage check).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # --- BM25 scoring (ES/Lucene defaults; SURVEY §7.0) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- analysis ---
+    # Lowercase + [a-z0-9]+ extraction, an ES `standard`-approximate
+    # analyzer. MUST match refscore tokenization exactly (it does by
+    # construction: both call analysis.tokenize_series).
+    token_pattern: str = "[a-z0-9]+"
+    # Truncate input text to this many chars before tokenizing
+    # (ref: --max-content-length, es_translator/es.py:120-121). 0 = off.
+    max_content_length: int = 0
+
+    # --- index layout ---
+    # Postings are cut into self-contained blocks of this many docs;
+    # each block carries (first_doc, gaps, tfs, dls, max_impact).
+    block_size: int = 128
+    # Terms are hashed into this many directory partitions of the
+    # segments table (partition pruning for term lookups; the analog of
+    # ES shard routing, es_translator/es.py:73-80).
+    n_term_buckets: int = 16
+    # Hot-term skew defuser: each term's postings are range-split into
+    # this many salt buckets by doc_ord so no single reducer builds a
+    # Zipf-head term alone (SURVEY §4.2). Buckets are doc_ord-range
+    # disjoint, so merging = concatenating block lists in range order.
+    n_salt_buckets: int = 8
+    # The stage-2 segment build commits term_buckets in this many
+    # chunks; each chunk is one job + one manifest row → resume
+    # granularity (ref resume semantics: es_translator/es.py:131-150).
+    n_build_chunks: int = 4
+
+    # --- execution ---
+    # Partitions for the doc_ord assignment range-shuffle; 0 = let
+    # Spark/AQE decide (defaultParallelism).
+    n_doc_partitions: int = 0
+
+    def config_hash(self) -> str:
+        payload = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "IndexConfig":
+        return IndexConfig(**json.loads(s))

@@ -1,0 +1,466 @@
+"""BM25 top-k query engine over the segment index.
+
+The capability the reference delegates to Elasticsearch with
+``search.query('query_string', query=...)`` (es_translator/
+es_translator.py:313-323) — analyzed full-text retrieval with BM25
+ranking — implemented natively:
+
+  * batch path (`search_batch`): the whole query set as one DataFrame
+    job — query terms broadcast-joined to the term dictionary and the
+    pruned segment scan, blocks decoded + scored in a vectorized Arrow
+    stage, per-partition partial top-k, then a final window. This is
+    the path the DuckDB oracle checks.
+  * interactive path (`Searcher.search`): one query on the driver with
+    lazy block decoding and lossless Block-Max-WAND pruning (OR mode)
+    / leapfrog posting intersection (AND mode). Only the posting
+    blocks of the query's terms are fetched (term_bucket partition
+    pruning + term predicate pushdown — the analog of ES routing a
+    query to the right shard).
+
+Ranking contract (parity with refscore.bm25_reference_topk):
+  score(q,d) = Σ_t qtf·idf·(k1+1)·tf / (tf + k1(1-b+b·dl/avgdl)),
+  idf = ln(1+(N-df+0.5)/(df+0.5)); ties (score desc, conv_id asc,
+  turn_idx asc) ≡ (score desc, doc_ord asc) because doc_ord is the
+  dense rank of (conv_id, turn_idx).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkbm25 import catalog
+from sparkbm25.analysis import tokenize_one
+from sparkbm25.codec import decode_block, decode_blocks
+from sparkbm25.config import IndexConfig
+
+
+def _load_stats(index_dir: str) -> tuple[int, float, IndexConfig]:
+    stats = catalog.read_stats(index_dir)
+    cfg = IndexConfig.from_json(stats["config"]) if isinstance(stats.get("config"), str) else IndexConfig(**json.loads(stats["config"]))
+    return int(stats["n_docs"]), float(stats["avgdl"]), cfg
+
+
+def _query_terms_pdf(queries: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:
+    """(query_id, query_text[, k]) -> rows (query_id, term, qtf, n_req, k)."""
+    rows = []
+    for q in queries.itertuples(index=False):
+        terms = tokenize_one(q.query_text, cfg.token_pattern)
+        counts = Counter(terms)
+        for term, qtf in sorted(counts.items()):
+            rows.append((int(q.query_id), term, int(qtf), len(counts),
+                         int(getattr(q, "k", 10) or 10)))
+    return pd.DataFrame(rows, columns=["query_id", "term", "qtf", "n_req", "k"])
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """Top-k for a whole query set; returns
+    (query_id, rank, conv_id, turn_idx, score)."""
+    n_docs, avgdl, cfg = _load_stats(index_dir)
+    qp = _query_terms_pdf(queries, cfg)
+    if qp.empty or n_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, conv_id string, turn_idx int, score double")
+    if "k" not in queries.columns:
+        qp["k"] = k
+
+    uniq_terms = sorted(qp["term"].unique().tolist())
+    # term dictionary lookup (broadcast-small): df per query term
+    terms_df = (
+        spark.read.parquet(catalog.terms_dir(index_dir))
+        .where(F.col("term").isin(uniq_terms))
+        .toPandas()
+    )
+    df_map = dict(zip(terms_df["term"], terms_df["df"]))
+    buckets = sorted(set(int(b) for b in terms_df["term_bucket"]))
+    qp["df"] = qp["term"].map(df_map)
+    qp_hit = qp.dropna(subset=["df"]).copy()
+    qp_hit["idf"] = np.log(1.0 + (n_docs - qp_hit["df"] + 0.5) / (qp_hit["df"] + 0.5))
+
+    if qp_hit.empty:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, conv_id string, turn_idx int, score double")
+
+    qdf = spark.createDataFrame(
+        qp_hit[["query_id", "term", "qtf", "idf", "n_req", "k"]],
+        schema="query_id int, term string, qtf int, idf double, n_req int, k int",
+    )
+
+    segs = (
+        spark.read.parquet(catalog.segments_dir(index_dir))
+        .where(F.col("term_bucket").isin(buckets))     # partition pruning
+        .where(F.col("term").isin(uniq_terms))         # rowgroup pushdown
+        .select("term", "blocks")
+    )
+    hits = segs.join(F.broadcast(qdf), "term")
+
+    k1, b = cfg.k1, cfg.b
+
+    def decode_score(batches):
+        for pdf in batches:
+            out_q, out_d, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                docs, tfs, dls = decode_blocks(row.blocks)
+                if docs.size == 0:
+                    continue
+                denom = tfs + k1 * (1.0 - b + b * (dls / avgdl))
+                w = row.qtf * row.idf * (k1 + 1.0) * tfs / denom
+                out_q.append(np.full(docs.size, row.query_id, dtype=np.int32))
+                out_d.append(docs)
+                out_s.append(w)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "doc_ord": np.concatenate(out_d),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    parts = hits.mapInPandas(
+        decode_score, schema="query_id int, doc_ord bigint, score double")
+
+    scored = parts.groupBy("query_id", "doc_ord").agg(
+        F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_matched")
+    )
+    if mode == "and":
+        req = spark.createDataFrame(
+            qp_hit[["query_id", "n_req"]].drop_duplicates(),
+            schema="query_id int, n_req int")
+        scored = scored.join(F.broadcast(req), "query_id").where(
+            F.col("n_matched") == F.col("n_req")).drop("n_req")
+    scored = scored.drop("n_matched")
+
+    # per-partition partial top-k before the per-query shuffle: the
+    # final window only sees <= k rows per (query, partition).
+    kmax = int(qp_hit["k"].max()) if "k" in qp_hit.columns else k
+
+    def partial_topk(batches):
+        state: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            for qid, g in pdf.groupby("query_id", sort=False):
+                cur = state.get(qid)
+                both = pd.concat([cur, g]) if cur is not None else g
+                both = both.sort_values(
+                    ["score", "doc_ord"], ascending=[False, True], kind="mergesort"
+                ).head(kmax)
+                state[qid] = both
+        if state:
+            yield pd.concat(state.values(), ignore_index=True)
+
+    reduced = scored.mapInPandas(
+        partial_topk, schema="query_id int, doc_ord bigint, score double")
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
+    topk = (
+        reduced.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.lit(kmax))
+    )
+    # per-query k (may differ): join and refilter
+    kq = spark.createDataFrame(
+        qp_hit[["query_id", "k"]].drop_duplicates(), schema="query_id int, k int")
+    topk = topk.join(F.broadcast(kq), "query_id").where(
+        F.col("rank") <= F.col("k")).drop("k")
+
+    # resolve doc_ord -> (conv_id, turn_idx): tiny key set, pushed down
+    # to the forward-table scan (analog of ES point GET by id+routing,
+    # es_translator/es_translator.py:216-227).
+    ords = [r["doc_ord"] for r in topk.select("doc_ord").distinct().collect()]
+    docs = (
+        spark.read.parquet(catalog.docs_dir(index_dir))
+        .where(F.col("doc_ord").isin(ords))
+        .select("doc_ord", "conv_id", "turn_idx")
+    )
+    return (
+        topk.join(docs, "doc_ord")
+        .select("query_id", "rank", "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interactive driver path: Block-Max WAND
+# ---------------------------------------------------------------------------
+
+class _Cursor:
+    """Posting cursor over a term's block list with lazy decode.
+
+    Block i covers doc_ords in [first_doc[i], first_doc[i+1]) — blocks
+    are doc-range ordered because salt buckets are range-disjoint and
+    blocks are emitted in doc order inside each salt run.
+    """
+
+    __slots__ = ("blocks", "weight", "firsts", "bi", "docs", "tfs", "dls", "pos", "n")
+
+    def __init__(self, blocks: list, weight: float):
+        blocks = sorted(blocks, key=lambda blk: blk["first_doc"] if isinstance(blk, dict) else blk.first_doc)
+        self.blocks = blocks
+        self.weight = weight  # qtf * idf * (k1+1)
+        self.firsts = [b["first_doc"] if isinstance(b, dict) else b.first_doc for b in blocks]
+        self.n = len(blocks)
+        self.bi = -1
+        self.docs = self.tfs = self.dls = None
+        self.pos = 0
+        self._open(0)
+
+    def _open(self, bi: int) -> None:
+        if bi >= self.n:
+            self.bi = self.n
+            self.docs = None
+            return
+        self.bi = bi
+        self.docs, self.tfs, self.dls = decode_block(self.blocks[bi])
+        self.pos = 0
+
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= self.n
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.docs[self.pos]) if not self.exhausted else 2**62
+
+    def block_last_bound(self) -> int:
+        """Exclusive upper bound of current block's doc range."""
+        if self.bi + 1 < self.n:
+            return int(self.firsts[self.bi + 1])
+        return 2**62
+
+    def shallow_info(self, target: int) -> tuple[float, int]:
+        """(score upper bound, exclusive range end) of the block that
+        would contain `target` — a BMW 'shallow advance': block pointer
+        math only, no decode. A posting with doc_ord == target, if it
+        exists, lies in the block whose range [first_i, first_{i+1})
+        covers target, so that block's max_impact bounds the term's
+        contribution at target."""
+        import bisect
+
+        bi = bisect.bisect_right(self.firsts, target) - 1
+        bi = max(bi, self.bi)
+        end = int(self.firsts[bi + 1]) if bi + 1 < self.n else 2**62
+        blk = self.blocks[bi]
+        mi = blk["max_impact"] if isinstance(blk, dict) else blk.max_impact
+        return self.weight * mi, end
+
+    def next_geq(self, target: int) -> int:
+        """Advance to first doc >= target; skips blocks without decode."""
+        if self.exhausted:
+            return self.cur_doc
+        # move across blocks via first_doc bounds
+        if target >= self.block_last_bound() or target > int(self.docs[-1]):
+            import bisect
+            bi = bisect.bisect_right(self.firsts, target) - 1
+            bi = max(bi, self.bi)
+            if bi == self.bi:
+                bi += 1
+            # the block whose range may contain target
+            while bi < self.n:
+                nxt = self.firsts[bi + 1] if bi + 1 < self.n else 2**62
+                if target < nxt:
+                    break
+                bi += 1
+            self._open(bi)
+            if self.exhausted:
+                return self.cur_doc
+        idx = int(np.searchsorted(self.docs, target, side="left"))
+        while idx >= self.docs.size:
+            self._open(self.bi + 1)
+            if self.exhausted:
+                return self.cur_doc
+            idx = int(np.searchsorted(self.docs, target, side="left"))
+        self.pos = idx
+        return self.cur_doc
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= self.docs.size:
+            self._open(self.bi + 1)
+
+    def score_current(self, k1: float, b: float, avgdl: float) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+class Searcher:
+    """Interactive single-query search with Block-Max WAND pruning."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_docs, self.avgdl, self.cfg = _load_stats(index_dir)
+
+    def _fetch_postings(self, terms: list[str]) -> dict[str, list]:
+        """Compressed block lists per term — partition-pruned,
+        predicate-pushed scan; blocks stay encoded until WAND asks."""
+        tdf = (
+            self.spark.read.parquet(catalog.terms_dir(self.index_dir))
+            .where(F.col("term").isin(terms)).toPandas()
+        )
+        if tdf.empty:
+            return {}
+        buckets = sorted(set(int(x) for x in tdf["term_bucket"]))
+        rows = (
+            self.spark.read.parquet(catalog.segments_dir(self.index_dir))
+            .where(F.col("term_bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .select("term", "blocks")
+            .collect()
+        )
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(r["term"], []).extend(
+                blk.asDict() for blk in r["blocks"])
+        return out
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        tdf = (
+            self.spark.read.parquet(catalog.terms_dir(self.index_dir))
+            .where(F.col("term").isin(terms)).toPandas()
+        )
+        return dict(zip(tdf["term"], tdf["df"].astype(int)))
+
+    def search(self, query_text: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
+        """-> pandas (rank, conv_id, turn_idx, score)."""
+        cfg = self.cfg
+        terms = tokenize_one(query_text, cfg.token_pattern)
+        counts = Counter(terms)
+        if not counts:
+            return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        dfs = self.term_dfs(sorted(counts))
+        present = sorted(t for t in counts if t in dfs)
+        if mode == "and" and len(present) < len(counts):
+            return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        if not present:
+            return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        postings = self._fetch_postings(present)
+        k1, b, avgdl, N = cfg.k1, cfg.b, self.avgdl, self.n_docs
+        cursors = []
+        for t in present:
+            idf = float(np.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+            weight = counts[t] * idf * (k1 + 1.0)
+            cursors.append(_Cursor(postings[t], weight))
+
+        if mode == "and":
+            results = self._intersect_and(cursors, k, k1, b, avgdl)
+        else:
+            results = self._wand_or(cursors, k, k1, b, avgdl)
+        if not results:
+            return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        results.sort(key=lambda x: (-x[0], x[1]))
+        ords = [d for _, d in results]
+        docs = (
+            self.spark.read.parquet(catalog.docs_dir(self.index_dir))
+            .where(F.col("doc_ord").isin(ords))
+            .select("doc_ord", "conv_id", "turn_idx").toPandas()
+            .set_index("doc_ord")
+        )
+        out = pd.DataFrame(
+            {
+                "rank": np.arange(1, len(results) + 1, dtype=np.int32),
+                "conv_id": [docs.loc[d, "conv_id"] for _, d in results],
+                "turn_idx": [int(docs.loc[d, "turn_idx"]) for _, d in results],
+                "score": [s for s, _ in results],
+            }
+        )
+        return out
+
+    @staticmethod
+    def _wand_or(cursors: list[_Cursor], k: int, k1: float, b: float, avgdl: float):
+        """Block-Max WAND (Ding & Suel style): lossless top-k pruning.
+
+        heap holds (score, -doc_ord) so the min element is the one a
+        new candidate must beat under (score desc, doc_ord asc) ties.
+        """
+        heap: list[tuple[float, int]] = []  # (score, -doc_ord) min-heap
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -1.0
+
+        while True:
+            live = [c for c in cursors if not c.exhausted]
+            if not live:
+                break
+            live.sort(key=lambda c: c.cur_doc)
+            # pivot: first index where cumulative GLOBAL ub exceeds theta
+            acc = 0.0
+            pivot_i = -1
+            for i, c in enumerate(live):
+                acc += c.weight  # weight == global ub (impact <= 1)
+                if acc > theta():
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break  # nothing can beat theta anymore
+            pivot_doc = live[pivot_i].cur_doc
+            # shallow block-max check over every term that could
+            # contribute at pivot_doc (cur_doc <= pivot_doc)
+            ub_bm = 0.0
+            bounds = []
+            for c in live:
+                if c.cur_doc > pivot_doc:
+                    # first cursor past the pivot: its postings were NOT
+                    # counted in ub_bm, so the skip may not jump past it
+                    # (Ding & Suel BMW GetNewCandidate rule)
+                    bounds.append(c.cur_doc)
+                    break
+                ub, end = c.shallow_info(pivot_doc)
+                ub_bm += ub
+                bounds.append(end)
+            if ub_bm <= theta():
+                # no doc in [pivot_doc, min(bounds)) can beat theta:
+                # skip to the nearest block boundary past pivot_doc
+                target = max(min(bounds), pivot_doc + 1)
+                for c in live:
+                    if c.cur_doc < target:
+                        c.next_geq(target)
+            elif live[0].cur_doc == pivot_doc:
+                score = 0.0
+                matched = [c for c in live if c.cur_doc == pivot_doc]
+                for c in matched:
+                    score += c.score_current(k1, b, avgdl)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                for c in matched:
+                    c.advance()
+            else:
+                live[0].next_geq(pivot_doc)
+        return [(s, -nd) for s, nd in sorted(heap, reverse=True)]
+
+    @staticmethod
+    def _intersect_and(cursors: list[_Cursor], k: int, k1: float, b: float, avgdl: float):
+        """Leapfrog intersection, rarest list drives (J4: smallest-first)."""
+        heap: list[tuple[float, int]] = []
+        if not cursors:
+            return []
+        while not any(c.exhausted for c in cursors):
+            target = max(c.cur_doc for c in cursors)
+            aligned = True
+            for c in cursors:
+                if c.next_geq(target) != target:
+                    aligned = False
+                    break
+            if aligned:
+                score = sum(c.score_current(k1, b, avgdl) for c in cursors)
+                item = (score, -target)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                cursors[0].advance()
+        return [(s, -nd) for s, nd in sorted(heap, reverse=True)]
