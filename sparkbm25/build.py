@@ -45,8 +45,6 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from sparkbm25 import catalog
-from sparkbm25.analysis import make_tokens_udf
-from sparkbm25.codec import encode_blocks
 from sparkbm25.config import IndexConfig
 
 SEGMENT_SCHEMA = (
@@ -66,33 +64,51 @@ class BuildResult:
 
 
 def assign_doc_ords(df: DataFrame, config: IndexConfig) -> DataFrame:
-    """Stable dense docID by (conv_id, turn_idx) order (SURVEY §7.0 O4).
+    """Stable dense docID by (conv_id, turn_idx) order (SURVEY §7.0 O4)
+    fused with tokenization — ONE Python/Arrow crossing for both.
 
     Scale-safe: range-repartition + partition-local index via
     mapInPandas + broadcast join of per-partition offsets. No global
     window (which would single-partition 1e12 rows), no zipWithIndex
-    RDD detour. Returns df + (pid, doc_ord), persisted.
+    RDD detour. Returns (conv_id, turn_idx, tokens, dl, pid, doc_ord),
+    persisted — text and the other input columns are dropped as early
+    as possible (carry nothing wider than needed, SURVEY §7.3).
     """
     spark = df.sparkSession
     n_part = config.n_doc_partitions or spark.sparkContext.defaultParallelism
     dfp = (
-        df.repartitionByRange(n_part, "conv_id", "turn_idx")
+        df.select("conv_id", "turn_idx", "text")
+        .repartitionByRange(n_part, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("pid", F.spark_partition_id())
     )
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from sparkbm25.analysis import tokenize_series
 
-    out_schema = StructType(dfp.schema.fields + [StructField("local_idx", LongType())])
+    pattern, maxlen = config.token_pattern, config.max_content_length
 
-    def add_local_idx(batches):
+    def local_idx_and_tokenize(batches):
         off = 0
         for pdf in batches:
-            pdf = pdf.assign(local_idx=np.arange(off, off + len(pdf), dtype=np.int64))
+            toks = tokenize_series(pdf["text"], pattern, maxlen)
+            out = pd.DataFrame(
+                {
+                    "pid": pdf["pid"].to_numpy(),
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "local_idx": np.arange(off, off + len(pdf), dtype=np.int64),
+                    "tokens": toks.to_numpy(),
+                    "dl": toks.str.len().to_numpy(dtype=np.int64),
+                }
+            )
             off += len(pdf)
-            yield pdf
+            yield out
 
-    dfl = dfp.mapInPandas(add_local_idx, schema=out_schema)
+    dfl = dfp.mapInPandas(
+        local_idx_and_tokenize,
+        schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
+               "tokens array<string>, dl bigint",
+    )
     # persist: the range partitioner samples; pin the partitioning so
     # the count job and downstream see identical placement.
     dfl = dfl.persist(StorageLevel.MEMORY_AND_DISK)
@@ -103,34 +119,78 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig) -> DataFrame:
         pd.DataFrame({"pid": counts["pid"].astype("int32"), "offset": offsets}),
         schema="pid int, offset bigint",
     )
-    return (
+    out = (
         dfl.join(F.broadcast(offsets_df), "pid")
         .withColumn("doc_ord", (F.col("offset") + F.col("local_idx")).cast("bigint"))
         .drop("offset", "local_idx")
     )
+    out._sparkbm25_cached = dfl  # so build_index can unpersist
+    return out
 
 
-def _make_segment_builder(k1: float, b: float, avgdl: float, block_size: int):
-    def build_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_bucket, term, salt = key
-        pdf = pdf.sort_values("doc_ord", kind="mergesort")
-        blocks = encode_blocks(
-            pdf["doc_ord"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["dl"].to_numpy(np.int64),
-            k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+_BLOCK_PA_TYPE = None
+
+
+def _block_pa_type():
+    import pyarrow as pa
+
+    global _BLOCK_PA_TYPE
+    if _BLOCK_PA_TYPE is None:
+        _BLOCK_PA_TYPE = pa.list_(
+            pa.struct(
+                [
+                    ("first_doc", pa.int64()),
+                    ("n", pa.int32()),
+                    ("gaps", pa.binary()),
+                    ("tfs", pa.binary()),
+                    ("dls", pa.binary()),
+                    ("max_impact", pa.float64()),
+                ]
+            )
         )
-        return pd.DataFrame(
-            {
-                "term_bucket": [int(term_bucket)],
-                "term": [term],
-                "salt": [int(salt)],
-                "n_docs": [len(pdf)],
-                "blocks": [blocks],
-            }
-        )
+    return _BLOCK_PA_TYPE
 
-    return build_segment
+
+def _make_segment_encoder(k1: float, b: float, avgdl: float, block_size: int):
+    """mapInArrow stage: rows (term_bucket, term, salt, postings) with
+    postings = sorted array<struct<doc_ord,tf,dl>> → segment rows.
+
+    One vectorized encode per Arrow batch (thousands of groups), not
+    one Python call per group — the groupBy/collect_list upstream is
+    pure JVM (Tungsten hash agg with map-side partials)."""
+
+    def encode(batches):
+        import pyarrow as pa
+
+        from sparkbm25.codec import encode_blocks_batch
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tb = pa.Table.from_batches([rb])
+            lv = tb.column("postings").combine_chunks()
+            offs = lv.offsets.to_numpy().astype(np.int64)
+            group_offsets = offs - offs[0]
+            flat = lv.flatten()
+            docs = flat.field("doc_ord").to_numpy(zero_copy_only=False)
+            tfs = flat.field("tf").to_numpy(zero_copy_only=False)
+            dls = flat.field("dl").to_numpy(zero_copy_only=False)
+            blocks = encode_blocks_batch(
+                docs, tfs, dls, group_offsets,
+                k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tb.column("term_bucket").combine_chunks(),
+                    tb.column("term").combine_chunks(),
+                    tb.column("salt").combine_chunks(),
+                    pa.array(np.diff(group_offsets), type=pa.int64()),
+                    pa.array(blocks, type=_block_pa_type()),
+                ],
+                names=["term_bucket", "term", "salt", "n_docs", "blocks"],
+            )
+
+    return encode
 
 
 def build_index(
@@ -164,14 +224,7 @@ def build_index(
         n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     else:
         s0 = time.time()
-        tokens_udf = make_tokens_udf(config.token_pattern, config.max_content_length)
-        with_ord = assign_doc_ords(transcripts, config)
-        df_tok = (
-            with_ord
-            .withColumn("tokens", tokens_udf("text"))
-            .withColumn("dl", F.size("tokens").cast("bigint"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        df_tok = assign_doc_ords(transcripts, config)
 
         # forward table (doc_ord ↔ (conv_id, turn_idx), dl) — needed for
         # top-k id resolution and the text-equality invariant check.
@@ -206,7 +259,7 @@ def build_index(
         tf_staging = catalog.staging_dir(index_dir, "tf")
         tf.write.mode("overwrite").partitionBy("term_bucket").parquet(tf_staging)
         catalog.commit_staging(index_dir, "tf", catalog.tf_dir(index_dir))
-        df_tok.unpersist()
+        df_tok._sparkbm25_cached.unpersist()
 
         catalog.write_stats(
             index_dir,
@@ -224,7 +277,7 @@ def build_index(
 
     # ---------------- stage 2: segments, chunked ----------------------
     k1, b, bs = config.k1, config.b, config.block_size
-    builder = _make_segment_builder(k1, b, float(avgdl), bs)
+    encoder = _make_segment_encoder(k1, b, float(avgdl), bs)
     n_chunks = max(1, min(config.n_build_chunks, config.n_term_buckets))
     for chunk in range(n_chunks):
         if ("segments", chunk) in done:
@@ -235,9 +288,12 @@ def build_index(
             spark.read.parquet(catalog.tf_dir(index_dir))
             .where(F.col("term_bucket").isin(buckets))  # partition pruning
         )
-        seg = tf_chunk.groupBy("term_bucket", "term", "salt").applyInPandas(
-            builder, schema=SEGMENT_SCHEMA
+        grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_ord", "tf", "dl"))
+            ).alias("postings")
         )
+        seg = grouped.mapInArrow(encoder, schema=SEGMENT_SCHEMA)
         stage_name = f"segchunk{chunk}"
         seg.write.mode("overwrite").partitionBy("term_bucket").parquet(
             catalog.staging_dir(index_dir, stage_name)
@@ -269,6 +325,7 @@ def build_index(
         catalog.append_manifest(index_dir, _mrow(
             "terms", -1, 0, n_terms, d0, d1, lineage))
 
+    catalog.clear_staging(index_dir)
     seconds = time.time() - t0
     return BuildResult(
         index_dir=index_dir,

@@ -29,17 +29,21 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64 bits / 7
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 varint encode of a non-negative int array."""
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 varint encode; also returns the byte offset of
+    each element (len n+1) so callers can slice out arbitrary runs —
+    this is what lets a whole Arrow batch of posting groups be encoded
+    in ONE numpy pass and then cut into per-block byte strings."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte length of each value = number of 7-bit groups
+        return b"", np.zeros(1, dtype=np.int64)
     nb = np.ones(v.shape, dtype=np.int64)
     for k in range(1, _MAX_VARINT_BYTES):
         nb += (v >> np.uint64(7 * k)) > 0
-    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=offsets[1:])
+    starts = offsets[:-1]
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     for k in range(_MAX_VARINT_BYTES):
         mask = nb > k
         if not mask.any():
@@ -48,7 +52,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (k < nb[mask] - 1).astype(np.uint8) << 7
         out[idx] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 varint encode of a non-negative int array."""
+    return varint_encode_with_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -79,28 +88,81 @@ def encode_blocks(
 
     Returns a list of dicts matching the segments `blocks` struct.
     """
-    n = doc_ords.shape[0]
-    doc_ords = np.asarray(doc_ords, dtype=np.int64)
+    n = int(np.asarray(doc_ords).shape[0])
+    return encode_blocks_batch(
+        np.asarray(doc_ords), np.asarray(tfs), np.asarray(dls),
+        np.array([0, n], dtype=np.int64),
+        k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+    )[0]
+
+
+def encode_blocks_batch(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_offsets: np.ndarray,
+    *,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+) -> list[list[dict]]:
+    """Encode MANY posting groups in one vectorized pass.
+
+    docs/tfs/dls are the flat concatenation of all groups (each group
+    sorted by doc_ord); group_offsets (len G+1) delimits groups.
+    Returns a per-group list of block dicts. All heavy math (deltas,
+    varint bytes, per-block max impact) is single-shot numpy; the only
+    per-block Python is byte slicing + dict packing.
+    """
+    n = int(docs.size)
+    G = int(group_offsets.size - 1)
+    if n == 0:
+        return [[] for _ in range(G)]
+    docs = np.asarray(docs, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
-    # impact = tf / (tf + k1*(1 - b + b*dl/avgdl)), float64
-    denom_norm = k1 * (1.0 - b + b * (dls / avgdl))
-    impacts = tfs / (tfs + denom_norm)
-    blocks = []
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        d = doc_ords[s:e]
-        blocks.append(
+    gsizes = np.diff(group_offsets)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(group_offsets[:-1], gsizes)
+
+    # block starts: every block_size-th element within a group; a group
+    # start always has pos==0, so blocks never span groups.
+    bstarts = np.flatnonzero(pos % block_size == 0)
+    bends = np.append(bstarts[1:], n)
+    first_docs = docs[bstarts]
+    bsizes = bends - bstarts
+
+    gaps = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    gaps[bstarts] = 0  # first-of-block is stored absolutely
+
+    denom = k1 * (1.0 - b + b * (dls / avgdl))
+    impacts = tfs / (tfs + denom)
+    max_imp = np.maximum.reduceat(impacts, bstarts)
+
+    gap_buf, gap_off = varint_encode_with_offsets(gaps)
+    tf_buf, tf_off = varint_encode_with_offsets(tfs.astype(np.uint64))
+    dl_buf, dl_off = varint_encode_with_offsets(dls.astype(np.uint64))
+    gap_mv, tf_mv, dl_mv = memoryview(gap_buf), memoryview(tf_buf), memoryview(dl_buf)
+
+    # group id of each block, then cut the block list per group
+    gid_of_block = np.searchsorted(group_offsets, bstarts, side="right") - 1
+    out: list[list[dict]] = [[] for _ in range(G)]
+    for i in range(bstarts.size):
+        s, e = int(bstarts[i]), int(bends[i])
+        out[int(gid_of_block[i])].append(
             {
-                "first_doc": int(d[0]),
-                "n": int(e - s),
-                "gaps": varint_encode(np.diff(d).astype(np.uint64)),
-                "tfs": varint_encode(tfs[s:e].astype(np.uint64)),
-                "dls": varint_encode(dls[s:e].astype(np.uint64)),
-                "max_impact": float(impacts[s:e].max()),
+                "first_doc": int(first_docs[i]),
+                "n": int(bsizes[i]),
+                # gaps for elements s+1..e-1 (first-of-block excluded)
+                "gaps": bytes(gap_mv[gap_off[s + 1]:gap_off[e]]) if e - s > 1 else b"",
+                "tfs": bytes(tf_mv[tf_off[s]:tf_off[e]]),
+                "dls": bytes(dl_mv[dl_off[s]:dl_off[e]]),
+                "max_impact": float(max_imp[i]),
             }
         )
-    return blocks
+    return out
 
 
 def decode_block(block) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

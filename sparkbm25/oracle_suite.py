@@ -1,0 +1,713 @@
+"""Driver-contract query suite: every SURVEY §2 operator that is
+SQL-expressible, as a (Spark callable, DuckDB oracle SQL) pair over the
+driver testdata tables (documents/events/embeddings/TPC-H-ish).
+
+Conventions for hash-stable oracle comparison:
+  * every computed column is aliased identically in both engines;
+  * float outputs are emitted as `*_micro` BIGINT via
+    floor(x*1e6 + 0.5) — integer value-hashes can't drift on
+    formatting; ln/sum ulp noise is absorbed by the rounding;
+  * every LIMIT has a total deterministic ORDER BY.
+
+Tokenization in SQL is split(lower(text), '[^a-z0-9]+') minus empty
+strings — provably identical to the engine's findall('[a-z0-9]+')
+(analysis.tokenize_series).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOK_SQL = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+
+BM25_TERMS = ["spark", "join"]           # mixed-frequency synthetic vocab
+BM25_TERMS_2 = ["window", "data", "scan"]
+K1, B = 1.2, 0.75
+TOPK = 10
+
+STOPWORDS = ["the", "a", "of", "and", "is"]
+
+
+def _micro(col):
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) exploded token stream, empties dropped."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+TOKS_CTE = f"""
+toks AS (
+    SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents
+), toks2 AS (
+    SELECT doc_id, term FROM toks WHERE term <> ''
+)"""
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / projections (SURVEY §2.1-2.3)
+# ---------------------------------------------------------------------------
+
+def q_doc_count(spark, sf_dir):
+    # S2/A1: pre-scan count (es_translator.py:112)
+    return _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_DOC_COUNT = "SELECT count(*) AS n FROM documents"
+
+
+def q_point_lookup(spark, sf_dir):
+    # S3: point GET by id(+routing) (es_translator.py:216-227)
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_POINT_LOOKUP = (
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
+)
+
+
+def q_projection_filter(spark, sf_dir):
+    # S4 + F1a: source filtering + structured query_string predicate
+    # ("type:article AND status:published" shape, docs/usage.md:94-103)
+    return (
+        _docs(spark, sf_dir)
+        .where((F.col("lang") == "en") & (F.col("n_chars") > 500))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_PROJECTION_FILTER = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE lang = 'en' AND n_chars > 500"
+)
+
+
+def q_truncate_text(spark, sf_dir):
+    # P3/C1: --max-content-length truncation (es.py:120-121)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.substring("text", 1, 50).alias("prefix"))
+    )
+
+
+SQL_TRUNCATE_TEXT = "SELECT doc_id, substr(text, 1, 50) AS prefix FROM documents"
+
+
+def q_resume_antijoin(spark, sf_dir):
+    # F2: idempotency/resume anti-join (es.py:131-150): docs whose id is
+    # in the 'done' set (doc_id % 7 == 0) are skipped; count what remains
+    docs = _docs(spark, sf_dir)
+    done = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return (
+        docs.join(done, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_remaining"))
+    )
+
+
+SQL_RESUME_ANTIJOIN = """
+SELECT lang, count(*) AS n_remaining FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# index-build aggregations (SURVEY §2.5 A7-A9)
+# ---------------------------------------------------------------------------
+
+def q_term_tf(spark, sf_dir):
+    # A8: term frequency per (term, doc)
+    return (
+        _tokens(spark, sf_dir)
+        .where(F.col("term").isin(BM25_TERMS + BM25_TERMS_2))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+SQL_TERM_TF = f"""
+WITH {TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf FROM toks2
+WHERE term IN ('spark','join','window','data','scan')
+GROUP BY term, doc_id
+"""
+
+
+def q_term_df(spark, sf_dir):
+    # A7: document frequency (exact — parity needs exact, not approx)
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_TERM_DF = f"""
+WITH {TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks2
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+def q_doc_lengths(spark, sf_dir):
+    # A9: per-doc token count (dl)
+    return _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"))
+
+
+SQL_DOC_LENGTHS = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id
+"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    # A9: N + avgdl (global broadcast scalars of the build)
+    docs = _docs(spark, sf_dir)
+    dl = _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"))
+    joined = docs.select("doc_id").join(dl, "doc_id", "left").select(
+        F.coalesce("dl", F.lit(0)).alias("dl"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        _micro(F.avg("dl")).alias("avgdl_micro"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id)
+SELECT count(*) AS n_docs,
+       CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS sum_dl,
+       CAST(floor(avg(coalesce(dl.dl, 0)) * 1000000.0 + 0.5) AS BIGINT) AS avgdl_micro
+FROM documents LEFT JOIN dl USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k (the ES-delegated capability, natively: F1/J4/J5/O3/C11)
+# ---------------------------------------------------------------------------
+
+def _bm25_sql(terms: list[str], mode: str) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    and_filter = (
+        f"HAVING count(*) = {len(terms)}" if mode == "and" else "")
+    return f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE term IN ({terms_in}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id {and_filter}
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table to the transcripts input shape
+    (BASELINE.json input_hint). conv_id is zero-padded so string order
+    == numeric doc_id order (stable docID invariant O4)."""
+    return _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the real segment index over
+    the documents table — the engine-backed path for the BM25 oracles."""
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    from sparkbm25.build import build_index
+    from sparkbm25.config import IndexConfig
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        "sparkbm25_entry_" + key.strip("/").replace("/", "_"),
+    )
+    cfg = IndexConfig(n_term_buckets=8, n_salt_buckets=4, n_build_chunks=1)
+    build_index(spark, docs_as_transcripts(spark, sf_dir), index_dir, cfg,
+                input_desc=key)
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _bm25_engine(spark: SparkSession, sf_dir: str, terms: list[str], mode: str) -> DataFrame:
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": [0], "query_text": [" ".join(terms)], "k": [TOPK]})
+    out = search_batch(spark, index_dir, queries, k=TOPK, mode=mode)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Flagship: full engine path (index build → segment scan → block
+    decode → score → top-k) vs a pure-SQL BM25 oracle."""
+    return _bm25_engine(spark, sf_dir, BM25_TERMS, "or")
+
+
+def q_bm25_topk_multi(spark, sf_dir):
+    return _bm25_engine(spark, sf_dir, BM25_TERMS_2, "or")
+
+
+def q_bm25_topk_and(spark, sf_dir):
+    # F1 AND semantics ("type:Document AND language:FRENCH" analog)
+    return _bm25_engine(spark, sf_dir, BM25_TERMS, "and")
+
+
+SQL_BM25_TOPK = _bm25_sql(BM25_TERMS, "or")
+SQL_BM25_TOPK_MULTI = _bm25_sql(BM25_TERMS_2, "or")
+SQL_BM25_TOPK_AND = _bm25_sql(BM25_TERMS, "and")
+
+
+# ---------------------------------------------------------------------------
+# monitor/metrics aggregations over events (SURVEY §2.5 A2-A6, §2.9 T3)
+# ---------------------------------------------------------------------------
+
+def q_windowed_rate(spark, sf_dir):
+    # A3/T3: tasks-per-2s tumbling window (monitor.py:205-216 rate)
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "win", F.floor(F.unix_timestamp("ts") / 2).cast("bigint"))
+        .groupBy("win", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _micro(F.sum("value")).alias("value_micro"))
+    )
+
+
+SQL_WINDOWED_RATE = """
+SELECT CAST(floor(epoch(ts) / 2) AS BIGINT) AS win, event_type,
+       count(*) AS n,
+       CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_avg(spark, sf_dir):
+    # A4: sliding-window average throughput (monitor deque mean,
+    # monitor.py:91,239-240): per-minute counts then 5-window mean
+    ev = _events(spark, sf_dir)
+    per_min = (
+        ev.withColumn("win", F.floor(F.unix_timestamp("ts") / 60).cast("bigint"))
+        .groupBy("win").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("win").rowsBetween(-4, 0)
+    return per_min.select(
+        "win", "n",
+        _micro(F.avg("n").over(w)).alias("avg5_micro"),
+        F.max("n").over(Window.orderBy("win").rowsBetween(Window.unboundedPreceding, 0)).alias("peak"),
+    )
+
+
+SQL_SLIDING_AVG = """
+WITH per_min AS (
+  SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS win, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT win, n,
+       CAST(floor(avg(n) OVER (ORDER BY win ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  * 1000000.0 + 0.5) AS BIGINT) AS avg5_micro,
+       max(n) OVER (ORDER BY win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+FROM per_min
+"""
+
+
+def q_worker_throughput(spark, sf_dir):
+    # A2/A6: per-worker processed count + elapsed (monitor.py:172-178);
+    # workers simulated as user_id % 8
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("worker", (F.col("user_id") % 8).cast("int"))
+        .groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).alias("n_processed"),
+            F.expr(
+                "(unix_micros(cast(max(ts) as timestamp)) - "
+                "unix_micros(cast(min(ts) as timestamp))) div 1000000"
+            ).alias("elapsed_s"),
+        )
+        .orderBy("worker")
+    )
+
+
+SQL_WORKER_THROUGHPUT = """
+SELECT CAST(user_id % 8 AS INT) AS worker,
+       count(*) AS n_processed,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS elapsed_s
+FROM events GROUP BY 1 ORDER BY worker
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    # exact dedup via content hash (hash-groupBy)
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    # MinHash signatures (2 hash functions via salted md5): docs whose
+    # signatures collide are near-dup candidates (LSH banding, 1 band)
+    toks = _tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("a:"), F.col("term")))).alias("mh_a"),
+        F.min(F.md5(F.concat(F.lit("b:"), F.col("term")))).alias("mh_b"),
+    )
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, min(md5('a:' || term)) AS mh_a, min(md5('b:' || term)) AS mh_b
+FROM toks2 GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection: token-set Jaccard over candidate pairs that
+    share a MinHash band (so the join is band-bucketed, not cartesian).
+    Emits pairs with jaccard_micro >= 0.5."""
+    toks = _tokens(spark, sf_dir).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sig = toks.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("a:"), F.col("term")))).alias("band"))
+    cand = (
+        sig.alias("x").join(sig.alias("y"), "band")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2"))
+    )
+    inter = (
+        cand.join(toks.alias("t1"), F.col("id1") == F.col("t1.doc_id"))
+        .join(toks.alias("t2"),
+              (F.col("id2") == F.col("t2.doc_id")) & (F.col("t1.term") == F.col("t2.term")))
+        .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("s1"), F.col("id1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("id2") == F.col("s2.doc_id"))
+        .select(
+            "id1", "id2",
+            _micro(F.col("inter") / (F.col("s1.sz") + F.col("s2.sz") - F.col("inter")))
+            .alias("jaccard_micro"),
+        )
+        .where(F.col("jaccard_micro") >= 500000)
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {TOKS_CTE},
+td AS (SELECT DISTINCT doc_id, term FROM toks2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM td GROUP BY doc_id),
+sig AS (SELECT doc_id, min(md5('a:' || term)) AS band FROM td GROUP BY doc_id),
+cand AS (
+  SELECT x.doc_id AS id1, y.doc_id AS id2
+  FROM sig x JOIN sig y USING (band) WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cand c
+  JOIN td t1 ON t1.doc_id = c.id1
+  JOIN td t2 ON t2.doc_id = c.id2 AND t2.term = t1.term
+  GROUP BY c.id1, c.id2
+)
+SELECT id1, id2,
+       CAST(floor(inter * 1.0 / (s1.sz + s2.sz - inter) * 1000000.0 + 0.5) AS BIGINT)
+         AS jaccard_micro
+FROM inter
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE CAST(floor(inter * 1.0 / (s1.sz + s2.sz - inter) * 1000000.0 + 0.5) AS BIGINT) >= 500000
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    # text analysis: token count, distinct terms, max tf per doc
+    toks = _tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct
+FROM toks2 GROUP BY doc_id
+"""
+
+
+def q_quality_counts(spark, sf_dir):
+    # quality scoring inputs: char count, alpha chars, digit chars,
+    # space chars (ratios computed downstream — integers hash stably)
+    docs = _docs(spark, sf_dir)
+    lower = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_exact"),
+        (F.length("text") - F.length(F.regexp_replace(lower, "[a-z]", ""))).alias("n_alpha"),
+        (F.length("text") - F.length(F.regexp_replace(lower, "[0-9]", ""))).alias("n_digit"),
+        (F.length("text") - F.length(F.regexp_replace(lower, " ", ""))).alias("n_space"),
+    )
+
+
+SQL_QUALITY_COUNTS = """
+SELECT doc_id,
+       length(text) AS n_chars_exact,
+       length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS n_alpha,
+       length(text) - length(regexp_replace(lower(text), '[0-9]', '', 'g')) AS n_digit,
+       length(text) - length(regexp_replace(lower(text), ' ', '', 'g')) AS n_space
+FROM documents
+"""
+
+
+def q_stopword_hits(spark, sf_dir):
+    # language-ID heuristic input: stopword hits per doc
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.where(F.col("term").isin(STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_stop"))
+    )
+
+
+SQL_STOPWORD_HITS = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, count(*) AS n_stop FROM toks2
+WHERE term IN ({', '.join(repr(s) for s in STOPWORDS)})
+GROUP BY doc_id
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    # similarity search: brute-force cosine top-20 vs the vec_id=0
+    # embedding (float64 accumulate, broadcast query vector)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (
+                F.aggregate(F.zip_with("v", "q", lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x)
+                / (
+                    F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+                    * F.sqrt(F.aggregate("q", F.lit(0.0), lambda a, x: a + x * x))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("vec_id", "rank", _micro(F.col("cos")).alias("cos_micro"))
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, CAST(rank AS INT) AS rank,
+       CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+FROM ranked WHERE rank <= 20
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    return emb.select(
+        "vec_id", "label",
+        _micro(F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+        .alias("norm_micro"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+       CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * 1000000.0 + 0.5) AS BIGINT) AS norm_micro
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# generic join/agg/top-k over the TPC-H-ish tables (J1/J5/O3 analogs)
+# ---------------------------------------------------------------------------
+
+def q_orders_topk_per_customer(spark, sf_dir):
+    # O3 generic: top-3 orders per customer by total price
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+SQL_ORDERS_TOPK = """
+SELECT o_custkey, o_orderkey, CAST(rk AS INT) AS rk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    # multi-join + agg: revenue per nation (broadcast dims)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            _micro(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_micro"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)
+         AS revenue_micro,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_count": (q_doc_count, SQL_DOC_COUNT),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "projection_filter": (q_projection_filter, SQL_PROJECTION_FILTER),
+    "truncate_text": (q_truncate_text, SQL_TRUNCATE_TEXT),
+    "resume_antijoin": (q_resume_antijoin, SQL_RESUME_ANTIJOIN),
+    "term_tf": (q_term_tf, SQL_TERM_TF),
+    "term_df": (q_term_df, SQL_TERM_DF),
+    "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_topk_multi": (q_bm25_topk_multi, SQL_BM25_TOPK_MULTI),
+    "bm25_topk_and": (q_bm25_topk_and, SQL_BM25_TOPK_AND),
+    "windowed_rate": (q_windowed_rate, SQL_WINDOWED_RATE),
+    "sliding_avg": (q_sliding_avg, SQL_SLIDING_AVG),
+    "worker_throughput": (q_worker_throughput, SQL_WORKER_THROUGHPUT),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
+    "stopword_hits": (q_stopword_hits, SQL_STOPWORD_HITS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "orders_topk_per_customer": (q_orders_topk_per_customer, SQL_ORDERS_TOPK),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+}

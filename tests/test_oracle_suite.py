@@ -1,0 +1,56 @@
+"""Local replica of the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+sf0.01 parquet, compare row count, column names, and order-insensitive
+values (SURVEY §5.2.5)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkbm25.oracle_suite import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    # normalize ints that may come back as different widths
+    for c in pdf.columns:
+        if pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(6)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = QUERIES[name]
+    got = _canon(fn(spark, SF_DIR).toPandas())
+    exp = _canon(duck.execute(sql).fetchdf())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            np.testing.assert_allclose(got[c], exp[c], rtol=1e-9,
+                                       err_msg=f"{name}.{c}")
+        else:
+            assert got[c].tolist() == exp[c].tolist(), f"{name}.{c} differs"
