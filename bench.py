@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build turns/sec + BM25 query latencies.
+
+Prints ONE JSON line:
+  {"metric": "index_build_turns_per_sec", "value": <turns/sec>,
+   "unit": "turns/sec", "queries": {"<qid>": seconds, ...},
+   "sf": <sf>, ...extras}
+
+Input: a deterministic synthetic transcripts table (BASELINE.json
+input_hint shape; seed=42), sized from the sf of $SPARK_GRAFT_SF_DIR
+(n_turns = sf * 2.4M) and cached as parquet under /tmp so repeated
+runs (and the local[8]/local[32] scaling proof) read the identical
+input. Runs on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TURNS_PER_SF = 2_400_000
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_input(n_turns: int, n_files: int = 32) -> str:
+    """Deterministic cached transcripts parquet dir (seed=42), split
+    into n_files so the initial scan parallelizes (a single file with
+    one row group would serialize every input read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.gettempdir(), f"sparkbm25_bench_transcripts_{n_turns}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from sparkbm25.fixtures import make_transcripts
+
+        pdf = make_transcripts(n_turns)
+        os.makedirs(path, exist_ok=True)
+        step = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            part = pdf.iloc[i * step:(i + 1) * step]
+            if len(part) == 0:
+                break
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                           os.path.join(path, f"part-{i:04d}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
+    from pyspark.sql import SparkSession
+
+    from sparkbm25 import IndexConfig, Searcher, build_index
+    from sparkbm25.fixtures import make_queries
+
+    sf = sf_of(sf_dir)
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 0)) or max(
+        int(sf * TURNS_PER_SF), 5000)
+    input_path = ensure_input(n_turns)
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"sparkbm25-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    index_dir = out_index or os.path.join(
+        tempfile.gettempdir(), f"sparkbm25_bench_index_{n_turns}_{cpus}")
+    # streamlined config for the throughput headline: single chunk,
+    # runs streamed straight into the segment build. The resumable
+    # configuration (checkpoint_runs=True, chunked commits) is what
+    # the tests exercise; BENCH/BASELINE.md reports both.
+    cfg = IndexConfig(
+        n_term_buckets=32,
+        n_salt_buckets=8,
+        n_build_chunks=1,
+        n_doc_partitions=max(cpus, 8),
+        checkpoint_runs=os.environ.get("SPARK_GRAFT_CHECKPOINT", "0") == "1",
+    )
+
+    transcripts = spark.read.parquet(input_path)
+    t0 = time.time()
+    res = build_index(spark, transcripts, index_dir, cfg,
+                      input_desc=f"bench_{n_turns}")
+    build_secs = time.time() - t0
+    turns_per_sec = n_turns / build_secs
+
+    # query latencies: interactive WAND path, per query
+    searcher = Searcher(spark, index_dir)
+    queries = make_queries()
+    qtimes: dict[str, float] = {}
+    # warm the JVM/parquet footers once
+    searcher.search("warmup w0000", k=10)
+    for q in queries.itertuples(index=False):
+        tq = time.time()
+        searcher.search(q.query_text, k=10)
+        qtimes[f"q{q.query_id}"] = round(time.time() - tq, 4)
+
+    # batch path: the whole query set as one DataFrame job
+    from sparkbm25.search import search_batch
+
+    tb = time.time()
+    search_batch(spark, index_dir, queries, k=10).collect()
+    qtimes["batch_all"] = round(time.time() - tb, 4)
+
+    spark.stop()
+    return {
+        "metric": "index_build_turns_per_sec",
+        "value": round(turns_per_sec, 1),
+        "unit": "turns/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "n_turns": n_turns,
+        "build_seconds": round(build_secs, 2),
+        "cpus": cpus,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,7 @@ class BuildResult:
     turns_per_sec: float
 
 
-def assign_doc_ords(df: DataFrame, config: IndexConfig) -> DataFrame:
+def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -> DataFrame:
     """Stable dense docID by (conv_id, turn_idx) order (SURVEY §7.0 O4)
     fused with tokenization — ONE Python/Arrow crossing for both.
 
@@ -114,7 +114,7 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig) -> DataFrame:
     dfl = dfl.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = dfl.groupBy("pid").count().toPandas().sort_values("pid")
-    offsets = counts["count"].cumsum().shift(fill_value=0).astype("int64")
+    offsets = (counts["count"].cumsum().shift(fill_value=0) + doc_ord_base).astype("int64")
     offsets_df = spark.createDataFrame(
         pd.DataFrame({"pid": counts["pid"].astype("int32"), "offset": offsets}),
         schema="pid int, offset bigint",
@@ -126,6 +126,16 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig) -> DataFrame:
     )
     out._sparkbm25_cached = dfl  # so build_index can unpersist
     return out
+
+
+def term_bucket_col(term_col, n_buckets: int):
+    """crc32-derived term bucket — MUST match IndexConfig.term_bucket_of
+    so the query driver can route to segment partitions client-side
+    (ES `_routing` analog, es_translator/es.py:73-80). crc32 because it
+    is cheap in the JVM AND byte-identical in Python's zlib."""
+    return F.pmod(
+        F.crc32(term_col.cast("binary")), F.lit(n_buckets)
+    ).cast("int")
 
 
 _BLOCK_PA_TYPE = None
@@ -201,6 +211,7 @@ def build_index(
     *,
     resume: bool = False,
     input_desc: str = "",
+    doc_ord_base: int = 0,
 ) -> BuildResult:
     """Build (or resume building) the inverted index at index_dir.
 
@@ -218,13 +229,24 @@ def build_index(
 
     done = catalog.done_set(catalog.read_manifest(index_dir), lineage) if resume else set()
 
+    n_chunks = (
+        1 if not config.checkpoint_runs
+        else max(1, min(config.n_build_chunks, config.n_term_buckets))
+    )
+    pending_chunks = [c for c in range(n_chunks) if ("segments", c) not in done]
+
     # ---------------- stage 1: docs + stats + tf runs -----------------
-    if ("tf", -1) in done:
+    # Without the on-disk runs checkpoint, stage 1 must be recomputed
+    # whenever any segment chunk is still pending (the runs only live
+    # in the cluster cache).
+    tf_df = None
+    stage1_done = ("tf", -1) in done and (config.checkpoint_runs or not pending_chunks)
+    if stage1_done:
         stats = catalog.read_stats(index_dir)
         n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     else:
         s0 = time.time()
-        df_tok = assign_doc_ords(transcripts, config)
+        df_tok = assign_doc_ords(transcripts, config, doc_ord_base)
 
         # forward table (doc_ord ↔ (conv_id, turn_idx), dl) — needed for
         # top-k id resolution and the text-equality invariant check.
@@ -246,20 +268,27 @@ def build_index(
         tf = (
             df_tok.select("doc_ord", "dl", F.explode("tokens").alias("term"))
             .groupBy("term", "doc_ord")
-            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-            .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), nb))
             .withColumn(
                 "salt",
                 F.least(
                     F.lit(ns - 1),
-                    F.floor(F.col("doc_ord") * ns / F.lit(max(n_docs, 1))),
+                    F.floor((F.col("doc_ord") - F.lit(doc_ord_base)) * ns
+                            / F.lit(max(n_docs, 1))),
                 ).cast("int"),
             )
         )
-        tf_staging = catalog.staging_dir(index_dir, "tf")
-        tf.write.mode("overwrite").partitionBy("term_bucket").parquet(tf_staging)
-        catalog.commit_staging(index_dir, "tf", catalog.tf_dir(index_dir))
-        df_tok._sparkbm25_cached.unpersist()
+        if config.checkpoint_runs:
+            tf_staging = catalog.staging_dir(index_dir, "tf")
+            # co-locate each bucket in one task before the partitioned
+            # write: file count = n_buckets, not tasks × buckets
+            tf = tf.repartition(nb, "term_bucket")
+            tf.write.mode("overwrite").partitionBy("term_bucket").parquet(tf_staging)
+            catalog.commit_staging(index_dir, "tf", catalog.tf_dir(index_dir))
+            df_tok._sparkbm25_cached.unpersist()
+        else:
+            tf_df = tf  # streamed straight into the segment build
 
         catalog.write_stats(
             index_dir,
@@ -267,6 +296,7 @@ def build_index(
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "sum_dl": sum_dl,
+                "doc_ord_base": doc_ord_base,
                 "config": config.to_json(),
                 "lineage": lineage,
             },
@@ -278,22 +308,28 @@ def build_index(
     # ---------------- stage 2: segments, chunked ----------------------
     k1, b, bs = config.k1, config.b, config.block_size
     encoder = _make_segment_encoder(k1, b, float(avgdl), bs)
-    n_chunks = max(1, min(config.n_build_chunks, config.n_term_buckets))
-    for chunk in range(n_chunks):
-        if ("segments", chunk) in done:
-            continue
+    for chunk in pending_chunks:
         c0 = time.time()
-        buckets = [bk for bk in range(config.n_term_buckets) if bk % n_chunks == chunk]
-        tf_chunk = (
-            spark.read.parquet(catalog.tf_dir(index_dir))
-            .where(F.col("term_bucket").isin(buckets))  # partition pruning
-        )
+        if tf_df is not None:
+            tf_chunk = tf_df  # single-chunk streaming path
+        else:
+            buckets = [bk for bk in range(config.n_term_buckets) if bk % n_chunks == chunk]
+            tf_chunk = (
+                spark.read.parquet(catalog.tf_dir(index_dir))
+                .where(F.col("term_bucket").isin(buckets))  # partition pruning
+            )
         grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_ord", "tf", "dl"))
             ).alias("postings")
         )
-        seg = grouped.mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+        seg = (
+            grouped.mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+            # encoded segments are compact; one shuffle aligns files
+            # with the term_bucket directory layout
+            .repartition(max(len(buckets) if tf_df is None else config.n_term_buckets, 1),
+                         "term_bucket")
+        )
         stage_name = f"segchunk{chunk}"
         seg.write.mode("overwrite").partitionBy("term_bucket").parquet(
             catalog.staging_dir(index_dir, stage_name)
@@ -301,14 +337,16 @@ def build_index(
         catalog.commit_staging(
             index_dir, stage_name, catalog.segments_chunk_dir(index_dir, chunk)
         )
-        row = (
-            spark.read.parquet(catalog.segments_chunk_dir(index_dir, chunk))
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum("n_docs").alias("postings"))
-            .collect()[0]
-        )
+        # chunk metrics from parquet footers + one tiny column, driver
+        # side — no extra Spark job per bookkeeping row
+        n_rows, n_postings = _segment_chunk_metrics(
+            catalog.segments_chunk_dir(index_dir, chunk))
         c1 = time.time()
         catalog.append_manifest(index_dir, _mrow(
-            "segments", chunk, int(row["postings"] or 0), int(row["rows"]), c0, c1, lineage))
+            "segments", chunk, n_postings, n_rows, c0, c1, lineage))
+
+    if tf_df is not None:
+        df_tok._sparkbm25_cached.unpersist()
 
     # ---------------- stage 3: term dictionary ------------------------
     if ("terms", -1) not in done:
@@ -320,7 +358,7 @@ def build_index(
         )
         terms.write.mode("overwrite").parquet(catalog.staging_dir(index_dir, "terms"))
         catalog.commit_staging(index_dir, "terms", catalog.terms_dir(index_dir))
-        n_terms = spark.read.parquet(catalog.terms_dir(index_dir)).count()
+        n_terms = _parquet_num_rows(catalog.terms_dir(index_dir))
         d1 = time.time()
         catalog.append_manifest(index_dir, _mrow(
             "terms", -1, 0, n_terms, d0, d1, lineage))
@@ -334,6 +372,32 @@ def build_index(
         seconds=seconds,
         turns_per_sec=(n_docs / seconds) if seconds > 0 else 0.0,
     )
+
+
+def _parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
+    return out
+
+
+def _parquet_num_rows(root: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in _parquet_files(root))
+
+
+def _segment_chunk_metrics(chunk_dir: str) -> tuple[int, int]:
+    """(segment rows, total postings) from footers + the n_docs column."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    postings = 0
+    for f in _parquet_files(chunk_dir):
+        rows += pq.read_metadata(f).num_rows
+        tbl = pq.read_table(f, columns=["n_docs"])
+        postings += int(pd.Series(tbl["n_docs"].to_numpy()).sum()) if tbl.num_rows else 0
+    return rows, postings
 
 
 def _mrow(stage: str, pid: int, n_turns: int, n_terms: int,

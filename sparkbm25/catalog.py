@@ -131,6 +131,52 @@ def read_manifest(index_dir: str) -> pd.DataFrame:
     return pq.read_table(d).to_pandas()
 
 
+def generation_dirs(index_root: str) -> list[str]:
+    """Generations of an incrementally-built index (streaming.py):
+    index_root/gen=K/ each a self-contained sub-index. A plain
+    single-shot index has no gen=* children and IS its own (only)
+    generation."""
+    if os.path.exists(stats_path(index_root)):
+        return [index_root]
+    if not os.path.isdir(index_root):
+        return []
+    gens = sorted(
+        (d for d in os.listdir(index_root) if d.startswith("gen=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    return [os.path.join(index_root, d) for d in gens]
+
+
+def segments_paths(index_root: str) -> list[str]:
+    return [segments_dir(g) for g in generation_dirs(index_root)]
+
+
+def docs_paths(index_root: str) -> list[str]:
+    return [docs_dir(g) for g in generation_dirs(index_root)]
+
+
+def global_stats(index_root: str) -> dict:
+    """Corpus stats summed across generations; per-gen stats (avgdl at
+    encode time) kept for WAND upper-bound correction."""
+    gens = generation_dirs(index_root)
+    if not gens:
+        raise FileNotFoundError(f"no index at {index_root}")
+    per_gen = [read_stats(g) for g in gens]
+    n = sum(s["n_docs"] for s in per_gen)
+    sum_dl = sum(s["sum_dl"] for s in per_gen)
+    return {
+        "n_docs": n,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n) if n else 0.0,
+        "config": per_gen[-1]["config"],
+        "generations": [
+            {"dir": g, "n_docs": s["n_docs"], "avgdl": s["avgdl"],
+             "doc_ord_base": s.get("doc_ord_base", 0)}
+            for g, s in zip(gens, per_gen)
+        ],
+    }
+
+
 def done_set(manifest: pd.DataFrame, lineage: str) -> set[tuple[str, int]]:
     """(stage, partition_id) pairs already committed for THIS job
     (lineage must match — a config change invalidates the checkpoint,

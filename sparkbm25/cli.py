@@ -1,0 +1,114 @@
+"""spark-submit entry points (X3: the reference's plan/execute CLI
+re-expressed; es_translator/cli.py:113-224).
+
+On a real cluster:
+
+    spark-submit --py-files sparkbm25.zip -m sparkbm25.cli build \\
+        --input /data/transcripts --index /data/index [--resume]
+    spark-submit ... search --index /data/index --query "alpha w0001" -k 10
+    spark-submit ... bench --index-dir /tmp/idx --n-turns 240000
+
+In the sandbox the same commands run on local[N]. argparse only —
+no click dependency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(master: str | None, app: str):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+    )
+    return b.getOrCreate()
+
+
+def cmd_build(args) -> int:
+    from sparkbm25.build import build_index
+    from sparkbm25.config import IndexConfig
+
+    spark = _spark(args.master, "sparkbm25-build")
+    cfg = IndexConfig(
+        n_term_buckets=args.term_buckets,
+        n_salt_buckets=args.salt_buckets,
+        n_build_chunks=args.chunks,
+        checkpoint_runs=not args.no_checkpoint,
+    )
+    df = spark.read.parquet(args.input)
+    res = build_index(spark, df, args.index, cfg, resume=args.resume,
+                      input_desc=args.input)
+    print(json.dumps({
+        "n_docs": res.n_docs, "avgdl": res.avgdl,
+        "seconds": round(res.seconds, 2),
+        "turns_per_sec": round(res.turns_per_sec, 1),
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from sparkbm25.search import Searcher
+
+    spark = _spark(args.master, "sparkbm25-search")
+    s = Searcher(spark, args.index)
+    t0 = time.time()
+    out = s.search(args.query, k=args.k, mode=args.mode)
+    elapsed = time.time() - t0
+    for row in out.itertuples(index=False):
+        print(f"{row.rank:4d}  {row.score:12.6f}  {row.conv_id}:{row.turn_idx}")
+    print(f"# {len(out)} hits in {elapsed:.3f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_monitor(args) -> int:
+    from sparkbm25.metrics import build_summary
+
+    print(json.dumps(build_summary(args.index), indent=2, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sparkbm25")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("build", help="build the inverted index")
+    pb.add_argument("--input", required=True, help="transcripts parquet/table path")
+    pb.add_argument("--index", required=True, help="output index dir")
+    pb.add_argument("--resume", action="store_true",
+                    help="resume from the manifest (skip committed chunks)")
+    pb.add_argument("--term-buckets", type=int, default=64)
+    pb.add_argument("--salt-buckets", type=int, default=8)
+    pb.add_argument("--chunks", type=int, default=4)
+    pb.add_argument("--no-checkpoint", action="store_true",
+                    help="skip the SPIMI runs checkpoint (faster, less resumable)")
+    pb.add_argument("--master", default=None)
+    pb.set_defaults(fn=cmd_build)
+
+    ps = sub.add_parser("search", help="BM25 top-k query")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--query", required=True)
+    ps.add_argument("-k", type=int, default=10)
+    ps.add_argument("--mode", choices=["or", "and"], default="or")
+    ps.add_argument("--master", default=None)
+    ps.set_defaults(fn=cmd_search)
+
+    pm = sub.add_parser("monitor", help="build metrics from the manifest")
+    pm.add_argument("--index", required=True)
+    pm.set_defaults(fn=cmd_monitor)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

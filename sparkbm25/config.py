@@ -52,6 +52,20 @@ class IndexConfig:
     # Partitions for the doc_ord assignment range-shuffle; 0 = let
     # Spark/AQE decide (defaultParallelism).
     n_doc_partitions: int = 0
+    # Write the stage-1 (term,doc,tf,dl) runs to disk as the SPIMI
+    # checkpoint (resume granularity = segment chunk). False = stream
+    # runs straight into the segment build (single chunk, faster, but
+    # a resumed run recomputes stage 1).
+    checkpoint_runs: bool = True
+
+    def term_bucket_of(self, term: str) -> int:
+        """Client-side term -> segment partition routing (the analog of
+        ES `_routing`, es_translator/es.py:73-80): crc32-derived so the
+        driver can prune partitions WITHOUT a dictionary lookup. Must
+        match build.term_bucket_col (F.crc32) exactly."""
+        import zlib
+
+        return zlib.crc32(term.encode()) % self.n_term_buckets
 
     def config_hash(self) -> str:
         payload = json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -53,32 +53,29 @@ def make_transcripts(n_turns: int = 5000, seed: int = SEED) -> pd.DataFrame:
     turn_idx = np.concatenate([np.arange(ln, dtype=np.int32) for ln in lengths])
     n = conv_ids.size
 
-    # text: 3..30 words sampled from the zipf vocab
+    # text: 3..30 words sampled from the zipf vocab (vectorized —
+    # bench generates millions of turns through this path)
     n_words = rng.integers(3, 31, size=n)
     flat = rng.choice(vocab, size=int(n_words.sum()), p=probs)
     bounds = np.concatenate(([0], np.cumsum(n_words)))
-    texts = [" ".join(flat[bounds[i]:bounds[i + 1]]) for i in range(n)]
+    texts = pd.Series(
+        [" ".join(flat[bounds[i]:bounds[i + 1]]) for i in range(n)], dtype=object)
 
-    # inject the hot term into ~35% of turns
-    hot_mask = rng.random(n) < 0.35
-    # case-mixing, punctuation, digits on random subsets
+    hot_mask = rng.random(n) < 0.35       # the skew hot term
     upper_mask = rng.random(n) < 0.10
     punct_mask = rng.random(n) < 0.30
     digit_mask = rng.random(n) < 0.15
     empty_mask = rng.random(n) < 0.01
-    for i in range(n):
-        s = texts[i]
-        if hot_mask[i]:
-            s = f"{HOT_TERM} {s}"
-        if digit_mask[i]:
-            s = f"{s} {int(rng.integers(0, 10000))}"
-        if punct_mask[i]:
-            s = s.replace(" ", ", ", 1) + "."
-        if upper_mask[i]:
-            s = s.upper()
-        if empty_mask[i]:
-            s = ""
-        texts[i] = s
+    digits = rng.integers(0, 10000, size=n)
+
+    texts = texts.where(~hot_mask, HOT_TERM + " " + texts)
+    texts = texts.where(
+        ~digit_mask, texts + " " + pd.Series(digits.astype(str), dtype=object))
+    punct = texts[punct_mask].str.replace(" ", ", ", n=1, regex=False) + "."
+    texts.loc[punct_mask] = punct
+    texts.loc[upper_mask] = texts[upper_mask].str.upper()
+    texts.loc[empty_mask] = ""
+    texts = texts.tolist()
 
     role = ROLES[rng.integers(0, 4, size=n)]
     tool = np.where(role == "tool", TOOLS[rng.integers(0, 4, size=n)], None)

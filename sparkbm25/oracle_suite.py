@@ -326,6 +326,134 @@ SQL_BM25_TOPK_MULTI = _bm25_sql(BM25_TERMS_2, "or")
 SQL_BM25_TOPK_AND = _bm25_sql(BM25_TERMS, "and")
 
 
+def q_bm25_wand(spark, sf_dir):
+    """The interactive Block-Max-WAND driver path, checked against the
+    SAME SQL oracle as the batch path — WAND pruning must be lossless."""
+    from sparkbm25.search import Searcher
+
+    index_dir = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, index_dir)
+    out = s.search(" ".join(BM25_TERMS), k=TOPK)
+    out = out.assign(doc_id=out["conv_id"].astype("int64"),
+                     score_micro=(out["score"] * 1e6 + 0.5).astype("int64"))
+    return spark.createDataFrame(
+        out[["doc_id", "rank", "score_micro"]],
+        schema="doc_id bigint, rank int, score_micro bigint")
+
+
+_INCR_CACHE: dict[str, str] = {}
+
+
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental-generation index (streaming.update_index twice over
+    a doc_id split) must answer identically to the SQL oracle over the
+    whole corpus — generation merge correctness."""
+    from sparkbm25.search import search_batch
+    from sparkbm25.streaming import update_index
+    from sparkbm25.config import IndexConfig
+
+    key = os.path.abspath(sf_dir)
+    if key not in _INCR_CACHE:
+        import shutil
+
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "sparkbm25_incr_" + key.strip("/").replace("/", "_"))
+        shutil.rmtree(root, ignore_errors=True)
+        t = docs_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(n_term_buckets=8, n_salt_buckets=2, n_build_chunks=1)
+        n = t.count()
+        cut = F.lpad(F.lit(str(n // 2)), 12, "0")
+        update_index(spark, t.where(F.col("conv_id") < cut), root, cfg)
+        update_index(spark, t.where(F.col("conv_id") >= cut), root, cfg)
+        _INCR_CACHE[key] = root
+    queries = pd.DataFrame(
+        {"query_id": [0], "query_text": [" ".join(BM25_TERMS)], "k": [TOPK]})
+    out = search_batch(spark, _INCR_CACHE[key], queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-only operators (no SQL oracle → driver records rows-only):
+# dedup scale paths, ANN variants, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_simhash_pairs(spark, sf_dir):
+    from sparkbm25.textops import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    from sparkbm25.textops import minhash_lsh_pairs, ngram_jaccard
+
+    docs = _docs(spark, sf_dir)
+    cands = minhash_lsh_pairs(docs, bands=4, n_hashes=12)
+    return ngram_jaccard(docs, cands, threshold=0.8)
+
+
+def q_lang_id_engine(spark, sf_dir):
+    from sparkbm25.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_engine(spark, sf_dir):
+    from sparkbm25.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from sparkbm25.textops import fingerprint64
+
+    return fingerprint64(_docs(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from sparkbm25.ann import cosine_topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk_lsh(emb.where(F.col("vec_id") != 0),
+                           [float(x) for x in qv], k=20, n_planes=8,
+                           probe_hamming=2)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from sparkbm25.ann import cosine_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk_ivf(emb.where(F.col("vec_id") != 0),
+                           [float(x) for x in qv], k=20, n_centroids=8,
+                           n_probe=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-asset plumbing: documents' text bytes as opaque payloads
+    through the Arrow feature-extraction stage (decode kernel stubbed,
+    Spark contract real)."""
+    from sparkbm25.multimodal import ASSET_SCHEMA, extract_features
+
+    docs = _docs(spark, sf_dir).limit(200)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(0).alias("sample_rate"), F.lit(1).alias("n_frames"),
+            F.lit("png").alias("codec"),
+        ).alias("meta"),
+    )
+    return extract_features(assets, dim=16).select("asset_id", "feat_dim")
+
+
 # ---------------------------------------------------------------------------
 # monitor/metrics aggregations over events (SURVEY §2.5 A2-A6, §2.9 T3)
 # ---------------------------------------------------------------------------
@@ -697,6 +825,16 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_topk_multi": (q_bm25_topk_multi, SQL_BM25_TOPK_MULTI),
     "bm25_topk_and": (q_bm25_topk_and, SQL_BM25_TOPK_AND),
+    "bm25_wand": (q_bm25_wand, SQL_BM25_TOPK),
+    "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
+    "lang_id": (q_lang_id_engine, None),
+    "quality_score": (q_quality_engine, None),
+    "doc_fingerprint": (q_fingerprint, None),
+    "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_ivf_topk": (q_ann_ivf, None),
+    "multimodal_features": (q_multimodal_features, None),
     "windowed_rate": (q_windowed_rate, SQL_WINDOWED_RATE),
     "sliding_avg": (q_sliding_avg, SQL_SLIDING_AVG),
     "worker_throughput": (q_worker_throughput, SQL_WORKER_THROUGHPUT),

@@ -41,10 +41,26 @@ from sparkbm25.codec import decode_block, decode_blocks
 from sparkbm25.config import IndexConfig
 
 
-def _load_stats(index_dir: str) -> tuple[int, float, IndexConfig]:
-    stats = catalog.read_stats(index_dir)
-    cfg = IndexConfig.from_json(stats["config"]) if isinstance(stats.get("config"), str) else IndexConfig(**json.loads(stats["config"]))
-    return int(stats["n_docs"]), float(stats["avgdl"]), cfg
+def _load_stats(index_dir: str) -> tuple[int, float, IndexConfig, list[dict]]:
+    """Global corpus stats (summed across generations for an
+    incrementally-built index) + per-generation info for WAND
+    upper-bound correction."""
+    stats = catalog.global_stats(index_dir)
+    cfg = (IndexConfig.from_json(stats["config"])
+           if isinstance(stats["config"], str)
+           else IndexConfig(**json.loads(stats["config"])))
+    return int(stats["n_docs"]), float(stats["avgdl"]), cfg, stats["generations"]
+
+
+def _read_segments(spark: SparkSession, index_dir: str):
+    """Union the segment tables of all generations (each generation is
+    its own partitioned-parquet root, so a single multi-path read would
+    see conflicting partition structures)."""
+    dfs = [spark.read.parquet(p) for p in catalog.segments_paths(index_dir)]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d.select(out.columns))
+    return out
 
 
 def _query_terms_pdf(queries: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:
@@ -68,7 +84,7 @@ def search_batch(
 ) -> DataFrame:
     """Top-k for a whole query set; returns
     (query_id, rank, conv_id, turn_idx, score)."""
-    n_docs, avgdl, cfg = _load_stats(index_dir)
+    n_docs, avgdl, cfg, _gens = _load_stats(index_dir)
     qp = _query_terms_pdf(queries, cfg)
     if qp.empty or n_docs == 0:
         return spark.createDataFrame(
@@ -77,32 +93,27 @@ def search_batch(
         qp["k"] = k
 
     uniq_terms = sorted(qp["term"].unique().tolist())
-    # term dictionary lookup (broadcast-small): df per query term
-    terms_df = (
-        spark.read.parquet(catalog.terms_dir(index_dir))
-        .where(F.col("term").isin(uniq_terms))
-        .toPandas()
-    )
-    df_map = dict(zip(terms_df["term"], terms_df["df"]))
-    buckets = sorted(set(int(b) for b in terms_df["term_bucket"]))
-    qp["df"] = qp["term"].map(df_map)
-    qp_hit = qp.dropna(subset=["df"]).copy()
-    qp_hit["idf"] = np.log(1.0 + (n_docs - qp_hit["df"] + 0.5) / (qp_hit["df"] + 0.5))
-
-    if qp_hit.empty:
-        return spark.createDataFrame(
-            [], "query_id int, rank int, conv_id string, turn_idx int, score double")
-
+    # client-side routing: term -> bucket is a pure hash (ES _routing
+    # analog) — NO dictionary scan; df comes from the segment rows
+    # themselves (sum of per-salt n_docs via a tiny window).
+    buckets = sorted({cfg.term_bucket_of(t) for t in uniq_terms})
+    qp_hit = qp
     qdf = spark.createDataFrame(
-        qp_hit[["query_id", "term", "qtf", "idf", "n_req", "k"]],
-        schema="query_id int, term string, qtf int, idf double, n_req int, k int",
+        qp_hit[["query_id", "term", "qtf", "n_req", "k"]],
+        schema="query_id int, term string, qtf int, n_req int, k int",
     )
 
+    w_term = Window.partitionBy("term")
     segs = (
-        spark.read.parquet(catalog.segments_dir(index_dir))
+        _read_segments(spark, index_dir)
         .where(F.col("term_bucket").isin(buckets))     # partition pruning
         .where(F.col("term").isin(uniq_terms))         # rowgroup pushdown
-        .select("term", "blocks")
+        .select("term", "n_docs", "blocks")
+        .withColumn("df", F.sum("n_docs").over(w_term))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
     )
     hits = segs.join(F.broadcast(qdf), "term")
 
@@ -174,17 +185,26 @@ def search_batch(
     topk = topk.join(F.broadcast(kq), "query_id").where(
         F.col("rank") <= F.col("k")).drop("k")
 
-    # resolve doc_ord -> (conv_id, turn_idx): tiny key set, pushed down
-    # to the forward-table scan (analog of ES point GET by id+routing,
+    # resolve doc_ord -> (conv_id, turn_idx): collect the tiny top-k
+    # once (<= k per query) so the expensive decode/score/topk pipeline
+    # runs exactly ONE action, then push the key set down to the
+    # forward-table scan (analog of ES point GET by id+routing,
     # es_translator/es_translator.py:216-227).
-    ords = [r["doc_ord"] for r in topk.select("doc_ord").distinct().collect()]
+    topk_pdf = topk.toPandas()
+    if topk_pdf.empty:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, conv_id string, turn_idx int, score double")
+    ords = sorted(topk_pdf["doc_ord"].unique().tolist())
     docs = (
-        spark.read.parquet(catalog.docs_dir(index_dir))
+        spark.read.parquet(*catalog.docs_paths(index_dir))
         .where(F.col("doc_ord").isin(ords))
         .select("doc_ord", "conv_id", "turn_idx")
     )
+    topk_df = spark.createDataFrame(
+        topk_pdf[["query_id", "doc_ord", "score", "rank"]],
+        schema="query_id int, doc_ord bigint, score double, rank int")
     return (
-        topk.join(docs, "doc_ord")
+        docs.join(F.broadcast(topk_df), "doc_ord")
         .select("query_id", "rank", "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "score")
         .orderBy("query_id", "rank")
     )
@@ -300,37 +320,47 @@ class Searcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        self.n_docs, self.avgdl, self.cfg = _load_stats(index_dir)
-
-    def _fetch_postings(self, terms: list[str]) -> dict[str, list]:
-        """Compressed block lists per term — partition-pruned,
-        predicate-pushed scan; blocks stay encoded until WAND asks."""
-        tdf = (
-            self.spark.read.parquet(catalog.terms_dir(self.index_dir))
-            .where(F.col("term").isin(terms)).toPandas()
-        )
-        if tdf.empty:
-            return {}
-        buckets = sorted(set(int(x) for x in tdf["term_bucket"]))
-        rows = (
-            self.spark.read.parquet(catalog.segments_dir(self.index_dir))
-            .where(F.col("term_bucket").isin(buckets))
-            .where(F.col("term").isin(terms))
-            .select("term", "blocks")
-            .collect()
-        )
-        out: dict[str, list] = {}
-        for r in rows:
-            out.setdefault(r["term"], []).extend(
-                blk.asDict() for blk in r["blocks"])
-        return out
+        self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(index_dir)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df per term from the term dictionary table (analytics path;
+        the hot search path derives df from segment rows instead)."""
         tdf = (
             self.spark.read.parquet(catalog.terms_dir(self.index_dir))
             .where(F.col("term").isin(terms)).toPandas()
         )
         return dict(zip(tdf["term"], tdf["df"].astype(int)))
+
+    def _fetch_postings(self, terms: list[str]) -> tuple[dict[str, list], dict[str, int]]:
+        """ONE partition-pruned, predicate-pushed scan returns both the
+        compressed block lists and df per term (sum of per-salt
+        n_docs). Routing is the client-side term-bucket hash — the
+        analog of ES routing a query to the right shard — so no
+        dictionary round-trip precedes the postings fetch."""
+        buckets = sorted({self.cfg.term_bucket_of(t) for t in terms})
+        post: dict[str, list] = {}
+        dfs: dict[str, int] = {}
+        for gen in self.gens:
+            # block-max metadata was encoded with this generation's
+            # avgdl; inflate by max(1, avgdl_global/avgdl_gen) so the
+            # stored upper bound stays sound under the global stats
+            gen_avgdl = float(gen["avgdl"]) or self.avgdl
+            inflate = max(1.0, self.avgdl / gen_avgdl) if gen_avgdl else 1.0
+            rows = (
+                self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
+                .where(F.col("term_bucket").isin(buckets))
+                .where(F.col("term").isin(terms))
+                .select("term", "n_docs", "blocks")
+                .collect()
+            )
+            for r in rows:
+                blks = [blk.asDict() for blk in r["blocks"]]
+                if inflate != 1.0:
+                    for blk in blks:
+                        blk["max_impact"] = min(1.0, blk["max_impact"] * inflate)
+                post.setdefault(r["term"], []).extend(blks)
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
+        return post, dfs
 
     def search(self, query_text: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
         """-> pandas (rank, conv_id, turn_idx, score)."""
@@ -339,13 +369,12 @@ class Searcher:
         counts = Counter(terms)
         if not counts:
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
-        dfs = self.term_dfs(sorted(counts))
+        postings, dfs = self._fetch_postings(sorted(counts))
         present = sorted(t for t in counts if t in dfs)
         if mode == "and" and len(present) < len(counts):
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         if not present:
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
-        postings = self._fetch_postings(present)
         k1, b, avgdl, N = cfg.k1, cfg.b, self.avgdl, self.n_docs
         cursors = []
         for t in present:
@@ -362,7 +391,7 @@ class Searcher:
         results.sort(key=lambda x: (-x[0], x[1]))
         ords = [d for _, d in results]
         docs = (
-            self.spark.read.parquet(catalog.docs_dir(self.index_dir))
+            self.spark.read.parquet(*catalog.docs_paths(self.index_dir))
             .where(F.col("doc_ord").isin(ords))
             .select("doc_ord", "conv_id", "turn_idx").toPandas()
             .set_index("doc_ord")

@@ -1,0 +1,90 @@
+"""Training-pipeline text ops: dedup family, text analysis (engine
+variants; SQL-checkable twins live in oracle_suite)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkbm25 import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),       # near dup
+        (3, "completely different text about spark and indexes"),
+        (4, "le chat est sur la table et il est content"),
+        (5, "el gato es un animal que vive en la casa"),
+        (6, ""),
+        (7, "zzz " * 50),                                           # repetitive
+        (8, "the of and is a to in that it for"),                   # stopword soup
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = textops.exact_dedup(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["canonical_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = textops.minhash_lsh_pairs(docs, bands=6, n_hashes=12).toPandas()
+    got = set(map(tuple, pairs[["id1", "id2"]].values.tolist()))
+    assert (0, 1) in got  # exact dups always collide
+    # verify stage: exact jaccard keeps real near-dups, kills noise
+    verified = textops.ngram_jaccard(docs, spark.createDataFrame(
+        pairs), threshold=0.5).toPandas()
+    vgot = set(map(tuple, verified[["id1", "id2"]].values.tolist()))
+    assert (0, 1) in vgot
+    assert all(j >= 0.5 for j in verified["jaccard"])
+
+
+def test_simhash_pairs(spark, docs):
+    out = textops.simhash_pairs(docs, max_hamming=3).toPandas()
+    got = set(map(tuple, out[["id1", "id2"]].values.tolist()))
+    assert (0, 1) in got          # identical text => hamming 0
+    assert out[(out.id1 == 0) & (out.id2 == 1)]["hamming"].iloc[0] == 0
+
+
+def test_lang_id(spark, docs):
+    out = {r["id"]: r["lang_pred"] for r in textops.lang_id(docs).collect()}
+    assert out[0] == "en" and out[8] == "en"
+    assert out[4] == "fr"
+    assert out[5] == "es"
+    assert out[6] == "und"
+
+
+def test_quality_score(spark, docs):
+    out = textops.quality_score(docs).toPandas().set_index("id")
+    assert 0.0 <= out["quality"].min() and out["quality"].max() <= 1.0
+    # empty doc scores worst; repetitive doc scores below normal prose
+    assert out.loc[6, "quality"] == out["quality"].min()
+    assert out.loc[7, "quality"] < out.loc[0, "quality"]
+
+
+def test_token_count(spark, docs):
+    out = textops.token_count(docs).toPandas().set_index("id")
+    assert out.loc[0, "ws_tokens"] == 9
+    assert out.loc[0, "bpeish_tokens"] >= 9
+
+
+def test_fingerprint_stability_and_sensitivity(spark, docs):
+    out = {r["id"]: r["fingerprint"] for r in textops.fingerprint64(docs).collect()}
+    assert out[0] == out[1]        # identical text, identical fingerprint
+    assert out[0] != out[3]
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH banding on dissimilar docs must not explode into ~n^2 pairs."""
+    rng = np.random.default_rng(0)
+    vocab = [f"t{i}" for i in range(2000)]
+    rows = [(i, " ".join(rng.choice(vocab, 12, replace=False))) for i in range(200)]
+    docs = rng.permutation  # noqa: F841  (keep rng used)
+    sdf = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
+        rows, "doc_id bigint, text string")
+    pairs = textops.minhash_lsh_pairs(sdf, bands=4, n_hashes=12)
+    assert pairs.count() < 200 * 10  # far below 200*199/2
