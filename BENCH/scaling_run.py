@@ -19,27 +19,34 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, sf_dir: str, reps: int) -> dict:
-    """Best of `reps` runs: the sandbox host is noisy (same-config
-    build times vary >2×); the minimum build time is the least
-    interference-contaminated sample of the job's true cost."""
+def _run_once(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
                PYTHONPATH=REPO,
                SPARK_GRAFT_BENCH_TURNS=os.environ.get("SPARK_GRAFT_BENCH_TURNS", "960000"))
-    best = None
-    times = []
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_pair(lo: int, hi: int, sf_dir: str, reps: int) -> tuple[dict, dict]:
+    """Interleaved best-of-`reps`: the sandbox host is noisy
+    (same-config build times vary >2×), so lo/hi reps alternate —
+    drifting interference hits both sides equally — and the minimum
+    build time per side is the least-contaminated sample."""
+    best = {lo: None, hi: None}
+    times = {lo: [], hi: []}
     for _ in range(reps):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
-        times.append(r["build_seconds"])
-        if best is None or r["build_seconds"] < best["build_seconds"]:
-            best = r
-    best["all_build_seconds"] = times
-    return best
+        for cpus in (lo, hi):
+            r = _run_once(cpus, sf_dir)
+            times[cpus].append(r["build_seconds"])
+            if best[cpus] is None or r["build_seconds"] < best[cpus]["build_seconds"]:
+                best[cpus] = r
+    best[lo]["all_build_seconds"] = times[lo]
+    best[hi]["all_build_seconds"] = times[hi]
+    return best[lo], best[hi]
 
 
 def main():
@@ -51,8 +58,7 @@ def main():
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    r_lo = run_at(lo, sf_dir, reps)
-    r_hi = run_at(hi, sf_dir, reps)
+    r_lo, r_hi = run_pair(lo, hi, sf_dir, reps)
     eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
     result = {
         "sf_dir": sf_dir,

@@ -93,6 +93,7 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         n_build_chunks=1,
         n_doc_partitions=max(cpus, 8),
         checkpoint_runs=os.environ.get("SPARK_GRAFT_CHECKPOINT", "0") == "1",
+        build_terms_dict=False,
     )
 
     transcripts = spark.read.parquet(input_path)

@@ -76,8 +76,10 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     """
     spark = df.sparkSession
     n_part = config.n_doc_partitions or spark.sparkContext.defaultParallelism
+    cols = ["conv_id", "turn_idx", "text"]
+    attrs = [c for c in ("role", "tool") if c in df.columns]
     dfp = (
-        df.select("conv_id", "turn_idx", "text")
+        df.select(*cols, *attrs)
         .repartitionByRange(n_part, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("pid", F.spark_partition_id())
@@ -99,21 +101,29 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
                     "local_idx": np.arange(off, off + len(pdf), dtype=np.int64),
                     "tokens": toks.to_numpy(),
                     "dl": toks.str.len().to_numpy(dtype=np.int64),
+                    **{a: pdf[a].to_numpy() for a in attrs},
                 }
             )
             off += len(pdf)
             yield out
 
+    attr_ddl = "".join(f", {a} string" for a in attrs)
     dfl = dfp.mapInPandas(
         local_idx_and_tokenize,
         schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
-               "tokens array<string>, dl bigint",
+               "tokens array<string>, dl bigint" + attr_ddl,
     )
     # persist: the range partitioner samples; pin the partitioning so
     # the count job and downstream see identical placement.
     dfl = dfl.persist(StorageLevel.MEMORY_AND_DISK)
 
-    counts = dfl.groupBy("pid").count().toPandas().sort_values("pid")
+    # ONE bookkeeping job: per-partition counts for the offsets AND the
+    # global stats (N, sum_dl) — no separate agg action later
+    counts = (
+        dfl.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("dl").alias("sum_dl"))
+        .toPandas().sort_values("pid")
+    )
     offsets = (counts["count"].cumsum().shift(fill_value=0) + doc_ord_base).astype("int64")
     offsets_df = spark.createDataFrame(
         pd.DataFrame({"pid": counts["pid"].astype("int32"), "offset": offsets}),
@@ -125,6 +135,7 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
         .drop("offset", "local_idx")
     )
     out._sparkbm25_cached = dfl  # so build_index can unpersist
+    out._sparkbm25_counts = counts  # (pid, count, sum_dl) for stats
     return out
 
 
@@ -203,6 +214,107 @@ def _make_segment_encoder(k1: float, b: float, avgdl: float, block_size: int):
     return encode
 
 
+def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
+                         postings_acc=None, rows_acc=None):
+    """Streaming SPIMI-merge encoder: consumes Arrow batches of
+    (term_bucket, term, salt, doc_ord, tf, dl) rows sorted by
+    (term, salt, doc_ord) within the partition, emits one segment row
+    per (term, salt) group. A group may span batches — the tail group
+    is carried; nothing else is buffered, so executor memory is O(one
+    group), not O(collect_list of the hot term)."""
+
+    def encode(batches):
+        import pyarrow as pa
+
+        from sparkbm25.codec import encode_blocks_batch
+
+        carry = None  # dict of numpy/py arrays for the unfinished tail group
+
+        def emit(tb_arr, terms, salts, docs, tfs, dls, group_offsets):
+            blocks = encode_blocks_batch(
+                docs, tfs, dls, group_offsets,
+                k1=k1, b=b, avgdl=avgdl, block_size=block_size)
+            if postings_acc is not None:
+                postings_acc.add(int(docs.size))
+                rows_acc.add(int(group_offsets.size - 1))
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tb_arr, type=pa.int32()),
+                    pa.array(terms, type=pa.string()),
+                    pa.array(salts, type=pa.int32()),
+                    pa.array(np.diff(group_offsets), type=pa.int64()),
+                    pa.array(blocks, type=_block_pa_type()),
+                ],
+                names=["term_bucket", "term", "salt", "n_docs", "blocks"],
+            )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tb = rb.column(rb.schema.get_field_index("term_bucket")).to_numpy(
+                zero_copy_only=False)
+            term = rb.column(rb.schema.get_field_index("term")).to_pylist()
+            salt = rb.column(rb.schema.get_field_index("salt")).to_numpy(
+                zero_copy_only=False)
+            docs = rb.column(rb.schema.get_field_index("doc_ord")).to_numpy(
+                zero_copy_only=False)
+            tfs = rb.column(rb.schema.get_field_index("tf")).to_numpy(
+                zero_copy_only=False)
+            dls = rb.column(rb.schema.get_field_index("dl")).to_numpy(
+                zero_copy_only=False)
+
+            if carry is not None:
+                term = carry["term"] + term
+                tb = np.concatenate([carry["tb"], tb])
+                salt = np.concatenate([carry["salt"], salt])
+                docs = np.concatenate([carry["docs"], docs])
+                tfs = np.concatenate([carry["tfs"], tfs])
+                dls = np.concatenate([carry["dls"], dls])
+                carry = None
+
+            n = len(term)
+            # group starts: term or salt changes (term strings: compare
+            # via pandas factorize for a vectorized boundary mask)
+            codes = pd.factorize(pd.Series(term, dtype=object))[0]
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (codes[1:] != codes[:-1]) | (salt[1:] != salt[:-1])
+            starts = np.flatnonzero(change)
+
+            if starts.size == 1:
+                # the whole batch is one (possibly continuing) group
+                carry = {"term": term, "tb": tb, "salt": salt,
+                         "docs": docs, "tfs": tfs, "dls": dls}
+                continue
+
+            last_start = int(starts[-1])
+            carry = {
+                "term": term[last_start:], "tb": tb[last_start:],
+                "salt": salt[last_start:], "docs": docs[last_start:],
+                "tfs": tfs[last_start:], "dls": dls[last_start:],
+            }
+            # complete groups: boundaries = starts (last element == the
+            # carried group's start == end of the complete region)
+            go = starts.astype(np.int64)
+            yield emit(
+                tb[starts[:-1]],
+                [term[i] for i in starts[:-1]],
+                salt[starts[:-1]],
+                docs[:last_start], tfs[:last_start], dls[:last_start],
+                go,
+            )
+
+        if carry is not None and len(carry["term"]):
+            docs = carry["docs"]
+            yield emit(
+                carry["tb"][:1], [carry["term"][0]], carry["salt"][:1],
+                docs, carry["tfs"], carry["dls"],
+                np.array([0, docs.size], dtype=np.int64),
+            )
+
+    return encode
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -251,17 +363,16 @@ def build_index(
         # forward table (doc_ord ↔ (conv_id, turn_idx), dl) — needed for
         # top-k id resolution and the text-equality invariant check.
         catalog_docs = catalog.staging_dir(index_dir, "docs")
+        attr_cols = [c for c in ("role", "tool") if c in df_tok.columns]
         (
-            df_tok.select("doc_ord", "conv_id", "turn_idx", "dl")
+            df_tok.select("doc_ord", "conv_id", "turn_idx", "dl", *attr_cols)
             .write.mode("overwrite").parquet(catalog_docs)
         )
         catalog.commit_staging(index_dir, "docs", catalog.docs_dir(index_dir))
 
-        agg = df_tok.agg(
-            F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-        ).collect()[0]
-        n_docs = int(agg["n"])
-        sum_dl = int(agg["sum_dl"] or 0)
+        counts = df_tok._sparkbm25_counts
+        n_docs = int(counts["count"].sum())
+        sum_dl = int(counts["sum_dl"].fillna(0).sum())
         avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
         nb, ns = config.n_term_buckets, config.n_salt_buckets
@@ -318,18 +429,32 @@ def build_index(
                 spark.read.parquet(catalog.tf_dir(index_dir))
                 .where(F.col("term_bucket").isin(buckets))  # partition pruning
             )
-        grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_ord", "tf", "dl"))
-            ).alias("postings")
-        )
-        seg = (
-            grouped.mapInArrow(encoder, schema=SEGMENT_SCHEMA)
-            # encoded segments are compact; one shuffle aligns files
-            # with the term_bucket directory layout
-            .repartition(max(len(buckets) if tf_df is None else config.n_term_buckets, 1),
-                         "term_bucket")
-        )
+        n_out = max(len(buckets) if tf_df is None else config.n_term_buckets, 1)
+        postings_acc = spark.sparkContext.accumulator(0)
+        rows_acc = spark.sparkContext.accumulator(0)
+        if config.encoder == "stream":
+            # shuffle-sort SPIMI merge: hash-shuffle by (term, salt) so a
+            # group lives in exactly one partition, cluster it with a
+            # partition-local sort, stream-encode with group carry.
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            sorted_tf = (
+                tf_chunk.repartition(n_shuffle, "term", "salt")
+                .sortWithinPartitions("term", "salt", "doc_ord")
+                .select("term_bucket", "term", "salt", "doc_ord", "tf", "dl")
+            )
+            stream_enc = _make_stream_encoder(k1, b, float(avgdl), bs,
+                                              postings_acc, rows_acc)
+            seg = sorted_tf.mapInArrow(stream_enc, schema=SEGMENT_SCHEMA)
+        else:
+            grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_ord", "tf", "dl"))
+                ).alias("postings")
+            )
+            seg = grouped.mapInArrow(encoder, schema=SEGMENT_SCHEMA)
+        # encoded segments are compact; one shuffle aligns files with
+        # the term_bucket directory layout
+        seg = seg.repartition(n_out, "term_bucket")
         stage_name = f"segchunk{chunk}"
         seg.write.mode("overwrite").partitionBy("term_bucket").parquet(
             catalog.staging_dir(index_dir, stage_name)
@@ -337,10 +462,14 @@ def build_index(
         catalog.commit_staging(
             index_dir, stage_name, catalog.segments_chunk_dir(index_dir, chunk)
         )
-        # chunk metrics from parquet footers + one tiny column, driver
-        # side — no extra Spark job per bookkeeping row
-        n_rows, n_postings = _segment_chunk_metrics(
-            catalog.segments_chunk_dir(index_dir, chunk))
+        # chunk metrics: accumulators filled by the encode tasks (no
+        # extra job, no driver-side column read); footer fallback for
+        # the collect-encoder path
+        if config.encoder == "stream":
+            n_rows, n_postings = rows_acc.value, postings_acc.value
+        else:
+            n_rows, n_postings = _segment_chunk_metrics(
+                catalog.segments_chunk_dir(index_dir, chunk))
         c1 = time.time()
         catalog.append_manifest(index_dir, _mrow(
             "segments", chunk, n_postings, n_rows, c0, c1, lineage))
@@ -349,7 +478,7 @@ def build_index(
         df_tok._sparkbm25_cached.unpersist()
 
     # ---------------- stage 3: term dictionary ------------------------
-    if ("terms", -1) not in done:
+    if config.build_terms_dict and ("terms", -1) not in done:
         d0 = time.time()
         segs = spark.read.parquet(catalog.segments_dir(index_dir))
         terms = (

@@ -57,6 +57,18 @@ class IndexConfig:
     # runs straight into the segment build (single chunk, faster, but
     # a resumed run recomputes stage 1).
     checkpoint_runs: bool = True
+    # Build the term dictionary table (term -> df). Queries don't need
+    # it (routing is hashed; df comes from segment rows) — it exists
+    # for analytics and the J5 inventory; skippable for raw throughput.
+    build_terms_dict: bool = True
+    # Segment encoder strategy:
+    #   'collect' — JVM collect_list + sort_array per (term,salt) group,
+    #               then batch-vectorized Arrow encode (bounded by salt).
+    #   'stream'  — shuffle-sort SPIMI merge: repartition by (term,salt),
+    #               sortWithinPartitions, and a streaming mapInArrow
+    #               encoder that carries partial groups across batches —
+    #               no per-group array buffering at all.
+    encoder: str = "stream"
 
     def term_bucket_of(self, term: str) -> int:
         """Client-side term -> segment partition routing (the analog of

@@ -265,9 +265,11 @@ def docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
+        # role carries the document language so query_string structured
+        # predicates ("role:en ...") have something selective to hit
+        F.col("lang").alias("role"),
         F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
+        F.col("source").alias("tool"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
 
@@ -339,6 +341,62 @@ def q_bm25_wand(spark, sf_dir):
     return spark.createDataFrame(
         out[["doc_id", "rank", "score_micro"]],
         schema="doc_id bigint, rank int, score_micro bigint")
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """query_string with a structured predicate + full-text terms
+    ("role:en spark join" ~ the reference's "type:Document AND
+    language:FRENCH"): filter restricts candidates, BM25 stats stay
+    index-wide."""
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": [0],
+         "query_text": ["role:en " + " ".join(BM25_TERMS)],
+         "k": [TOPK]})
+    out = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
+def _bm25_filtered_sql(terms: list[str], lang: str) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE term IN ({terms_in}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT s.doc_id, s.score,
+         row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE d.lang = '{lang}'
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+SQL_BM25_FILTERED = _bm25_filtered_sql(BM25_TERMS, "en")
 
 
 _INCR_CACHE: dict[str, str] = {}
@@ -826,6 +884,7 @@ QUERIES = {
     "bm25_topk_multi": (q_bm25_topk_multi, SQL_BM25_TOPK_MULTI),
     "bm25_topk_and": (q_bm25_topk_and, SQL_BM25_TOPK_AND),
     "bm25_wand": (q_bm25_wand, SQL_BM25_TOPK),
+    "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),

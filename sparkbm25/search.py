@@ -63,16 +63,29 @@ def _read_segments(spark: SparkSession, index_dir: str):
     return out
 
 
-def _query_terms_pdf(queries: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:
-    """(query_id, query_text[, k]) -> rows (query_id, term, qtf, n_req, k)."""
+def _query_terms_pdf(
+    queries: pd.DataFrame, cfg: IndexConfig
+) -> tuple[pd.DataFrame, dict[int, list[tuple[str, str]]]]:
+    """(query_id, query_text[, k]) -> (rows (query_id, term, qtf,
+    n_req, k), {query_id: structured filters}). query_text may use
+    query_string syntax ("role:user AND alpha", F1)."""
+    from sparkbm25.querystring import parse_query_string
+
     rows = []
+    filters: dict[int, list[tuple[str, str]]] = {}
     for q in queries.itertuples(index=False):
-        terms = tokenize_one(q.query_text, cfg.token_pattern)
+        parsed = parse_query_string(q.query_text)
+        if parsed.has_filters:
+            filters[int(q.query_id)] = parsed.filters
+        terms = tokenize_one(parsed.text, cfg.token_pattern)
         counts = Counter(terms)
         for term, qtf in sorted(counts.items()):
             rows.append((int(q.query_id), term, int(qtf), len(counts),
                          int(getattr(q, "k", 10) or 10)))
-    return pd.DataFrame(rows, columns=["query_id", "term", "qtf", "n_req", "k"])
+    return (
+        pd.DataFrame(rows, columns=["query_id", "term", "qtf", "n_req", "k"]),
+        filters,
+    )
 
 
 def search_batch(
@@ -85,7 +98,7 @@ def search_batch(
     """Top-k for a whole query set; returns
     (query_id, rank, conv_id, turn_idx, score)."""
     n_docs, avgdl, cfg, _gens = _load_stats(index_dir)
-    qp = _query_terms_pdf(queries, cfg)
+    qp, qfilters = _query_terms_pdf(queries, cfg)
     if qp.empty or n_docs == 0:
         return spark.createDataFrame(
             [], "query_id int, rank int, conv_id string, turn_idx int, score double")
@@ -153,6 +166,29 @@ def search_batch(
         scored = scored.join(F.broadcast(req), "query_id").where(
             F.col("n_matched") == F.col("n_req")).drop("n_req")
     scored = scored.drop("n_matched")
+
+    if qfilters:
+        # structured query_string predicates (F1): restrict candidates
+        # via the forward table — Catalyst pushes the predicate to the
+        # parquet scan; BM25 stats stay index-wide (ES semantics)
+        from sparkbm25.querystring import filter_condition
+
+        docs_df = spark.read.parquet(*catalog.docs_paths(index_dir))
+        missing = {fld for fl in qfilters.values() for fld, _ in fl
+                   if fld not in docs_df.columns}
+        if missing:
+            raise ValueError(
+                f"query_string filter fields not in index forward table: {missing}")
+        allowed = None
+        for qid, fl in qfilters.items():
+            part = docs_df.where(filter_condition(fl)).select(
+                F.lit(int(qid)).cast("int").alias("query_id"), "doc_ord")
+            allowed = part if allowed is None else allowed.unionByName(part)
+        f_ids = [int(q) for q in qfilters]
+        scored = scored.where(~F.col("query_id").isin(f_ids)).unionByName(
+            scored.where(F.col("query_id").isin(f_ids))
+            .join(allowed, ["query_id", "doc_ord"], "left_semi")
+        )
 
     # per-partition partial top-k before the per-query shuffle: the
     # final window only sees <= k rows per (query, partition).
@@ -363,9 +399,21 @@ class Searcher:
         return post, dfs
 
     def search(self, query_text: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
-        """-> pandas (rank, conv_id, turn_idx, score)."""
+        """-> pandas (rank, conv_id, turn_idx, score). Accepts
+        query_string syntax; structured filters route through the
+        batch path (filters need the forward table anyway)."""
+        from sparkbm25.querystring import parse_query_string
+
+        parsed = parse_query_string(query_text)
+        if parsed.has_filters:
+            q = pd.DataFrame({"query_id": [0], "query_text": [query_text],
+                              "k": [k]})
+            out = search_batch(self.spark, self.index_dir, q, k=k,
+                               mode=mode).toPandas()
+            return out[["rank", "conv_id", "turn_idx", "score"]].reset_index(drop=True)
+
         cfg = self.cfg
-        terms = tokenize_one(query_text, cfg.token_pattern)
+        terms = tokenize_one(parsed.text, cfg.token_pattern)
         counts = Counter(terms)
         if not counts:
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])

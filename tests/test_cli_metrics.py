@@ -32,7 +32,7 @@ def test_cli_monitor(built, capsys):
     data = json.loads(capsys.readouterr().out)
     assert data["n_turns"] == 1000
     assert data["turns_per_sec"] > 0
-    assert set(data["per_chunk_postings_per_sec"]) == {0, 1}
+    assert set(data["per_chunk_postings_per_sec"]) == {"0", "1"}  # json keys
 
 
 def test_metrics_series(built):
