@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Capture physical-plan evidence for the scale claims → BENCH/PLANS.md.
+
+For each key pipeline, dump .explain('formatted') and assert the plan
+properties that matter at 100 TB:
+  - segment scan: PartitionFilters on term_bucket + PushedFilters on
+    term (partition pruning + rowgroup pushdown)
+  - forward-table resolve: PushedFilters on doc_ord, broadcast join
+  - build tf agg: partial_count before the exchange (map-side combine)
+  - WholeStageCodegen spans on the JVM-side stages
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import contextlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from sparkbm25 import IndexConfig, build_index
+from sparkbm25 import catalog
+from sparkbm25.fixtures import make_transcripts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = "/tmp/plans_idx"
+    cfg = IndexConfig(n_term_buckets=16, n_salt_buckets=4, n_build_chunks=1)
+    build_index(spark, spark.createDataFrame(make_transcripts(3000)), idx,
+                cfg, input_desc="plans")
+
+    sections = []
+    checks = []
+
+    # 1. segment scan with client-side routing
+    terms = ["alpha", "w0001"]
+    buckets = sorted({cfg.term_bucket_of(t) for t in terms})
+    seg = (
+        spark.read.parquet(*catalog.segments_paths(idx))
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+        .select("term", "n_docs")
+    )
+    p = explain_str(seg)
+    sections.append(("Segment scan (term-routed)", p))
+    checks.append(("segment scan: partition pruning on term_bucket",
+                   "PartitionFilters" in p and "term_bucket" in p))
+    checks.append(("segment scan: term predicate pushed to parquet",
+                   "PushedFilters" in p and "term" in p.split("PushedFilters", 1)[1][:200]))
+
+    # 2. forward-table point resolve
+    docs = (
+        spark.read.parquet(*catalog.docs_paths(idx))
+        .where(F.col("doc_ord").isin([1, 2, 3]))
+        .select("doc_ord", "conv_id", "turn_idx")
+    )
+    p = explain_str(docs)
+    sections.append(("Forward-table resolve (doc_ord IN)", p))
+    checks.append(("doc resolve: doc_ord pushed to scan", "PushedFilters" in p))
+
+    # 3. tf aggregation plan (map-side partial agg + codegen)
+    src = spark.createDataFrame(make_transcripts(500))
+    from sparkbm25.build import assign_doc_ords, term_bucket_col
+
+    df_tok = assign_doc_ords(src, cfg)
+    tf = (
+        df_tok.select("doc_ord", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_ord")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), 16))
+    )
+    p = explain_str(tf)
+    sections.append(("tf aggregation (A8)", p))
+    checks.append(("tf agg: partial aggregate before exchange",
+                   "partial_count" in p or "HashAggregate" in p))
+    # formatted AQE plans mark codegen nodes with a '* ' prefix
+    checks.append(("tf agg: whole-stage codegen spans present",
+                   "WholeStageCodegen" in p or "\n+- * " in p or ":- * " in p or "- * " in p))
+
+    # 4. broadcast join in query path (query terms onto segments)
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"term": terms, "qtf": [1, 1]}), schema="term string, qtf int")
+    hits = seg.join(F.broadcast(qdf), "term")
+    p = explain_str(hits)
+    sections.append(("Query-terms broadcast join (J5)", p))
+    checks.append(("query join: BroadcastHashJoin", "BroadcastHashJoin" in p))
+
+    out = ["# BENCH/PLANS — physical-plan evidence\n"]
+    out.append("## Checks\n")
+    for name, ok in checks:
+        out.append(f"- [{'x' if ok else ' '}] {name}")
+    out.append("")
+    for title, plan in sections:
+        out.append(f"## {title}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    failed = [n for n, ok in checks if not ok]
+    print("PLANS.md written;", "ALL CHECKS PASS" if not failed else f"FAILED: {failed}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-TURNS_PER_SF = 2_400_000
+TURNS_PER_SF = 9_600_000  # sf0.1 -> 960k turns (amortizes fixed job costs)
 
 
 def sf_of(sf_dir: str) -> float:
@@ -69,20 +69,27 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         int(sf * TURNS_PER_SF), 5000)
     input_path = ensure_input(n_turns)
 
+    # shuffle + index on tmpfs: the VM's single virtual disk is shared
+    # across all cores, so disk-bound shuffle IO would masquerade as a
+    # serial fraction in the N-vs-4N scaling proof. On a real cluster
+    # shuffle goes to per-executor local NVMe — RAM here is the honest
+    # stand-in for that.
+    shm = "/dev/shm/sparkbm25_bench"
+    os.makedirs(shm, exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"sparkbm25-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", os.path.join(shm, "local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    index_dir = out_index or os.path.join(
-        tempfile.gettempdir(), f"sparkbm25_bench_index_{n_turns}_{cpus}")
+    index_dir = out_index or os.path.join(shm, f"index_{n_turns}_{cpus}")
     # streamlined config for the throughput headline: single chunk,
     # runs streamed straight into the segment build. The resumable
     # configuration (checkpoint_runs=True, chunked commits) is what

@@ -215,22 +215,31 @@ def _make_segment_encoder(k1: float, b: float, avgdl: float, block_size: int):
 
 
 def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
-                         postings_acc=None, rows_acc=None):
+                         postings_acc=None, rows_acc=None,
+                         aggregated: bool = True):
     """Streaming SPIMI-merge encoder: consumes Arrow batches of
     (term_bucket, term, salt, doc_ord, tf, dl) rows sorted by
     (term, salt, doc_ord) within the partition, emits one segment row
     per (term, salt) group. A group may span batches — the tail group
     is carried; nothing else is buffered, so executor memory is O(one
-    group), not O(collect_list of the hot term)."""
+    group), not O(collect_list of the hot term).
+
+    aggregated=False: input rows are raw token OCCURRENCES (no tf
+    column, duplicate doc_ords adjacent after the sort). tf is then a
+    run-length count computed inline — this removes the
+    groupBy(term, doc_ord) hash-agg shuffle from the build entirely
+    (salt is a function of doc_ord, so (term, doc) duplicates are
+    guaranteed co-located and adjacent)."""
 
     def encode(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from sparkbm25.codec import encode_blocks_batch
 
-        carry = None  # dict of numpy/py arrays for the unfinished tail group
+        carry = None  # dict: term_pa (pa array) + numpy int arrays
 
-        def emit(tb_arr, terms, salts, docs, tfs, dls, group_offsets):
+        def emit(tb_arr, terms_pa, salts, docs, tfs, dls, group_offsets):
             blocks = encode_blocks_batch(
                 docs, tfs, dls, group_offsets,
                 k1=k1, b=b, avgdl=avgdl, block_size=block_size)
@@ -240,7 +249,7 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
             return pa.RecordBatch.from_arrays(
                 [
                     pa.array(tb_arr, type=pa.int32()),
-                    pa.array(terms, type=pa.string()),
+                    terms_pa.cast(pa.string()),
                     pa.array(salts, type=pa.int32()),
                     pa.array(np.diff(group_offsets), type=pa.int64()),
                     pa.array(blocks, type=_block_pa_type()),
@@ -251,20 +260,26 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
         for rb in batches:
             if rb.num_rows == 0:
                 continue
+            # term strings stay in Arrow (C++) end to end — no Python
+            # str materialization per posting (memory-traffic hot spot)
+            term_pa = rb.column(rb.schema.get_field_index("term"))
             tb = rb.column(rb.schema.get_field_index("term_bucket")).to_numpy(
                 zero_copy_only=False)
-            term = rb.column(rb.schema.get_field_index("term")).to_pylist()
             salt = rb.column(rb.schema.get_field_index("salt")).to_numpy(
                 zero_copy_only=False)
             docs = rb.column(rb.schema.get_field_index("doc_ord")).to_numpy(
                 zero_copy_only=False)
-            tfs = rb.column(rb.schema.get_field_index("tf")).to_numpy(
-                zero_copy_only=False)
+            if aggregated:
+                tfs = rb.column(rb.schema.get_field_index("tf")).to_numpy(
+                    zero_copy_only=False)
+            else:
+                tfs = np.ones(rb.num_rows, dtype=np.int64)  # placeholder
             dls = rb.column(rb.schema.get_field_index("dl")).to_numpy(
                 zero_copy_only=False)
 
             if carry is not None:
-                term = carry["term"] + term
+                term_pa = pa.concat_arrays(
+                    [carry["term_pa"].cast(term_pa.type), term_pa])
                 tb = np.concatenate([carry["tb"], tb])
                 salt = np.concatenate([carry["salt"], salt])
                 docs = np.concatenate([carry["docs"], docs])
@@ -272,47 +287,78 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                 dls = np.concatenate([carry["dls"], dls])
                 carry = None
 
-            n = len(term)
-            # group starts: term or salt changes (term strings: compare
-            # via pandas factorize for a vectorized boundary mask)
-            codes = pd.factorize(pd.Series(term, dtype=object))[0]
+            n = len(tb)
+            # group starts: term or salt changes; adjacent-inequality
+            # computed in Arrow C++
             change = np.empty(n, dtype=bool)
             change[0] = True
-            change[1:] = (codes[1:] != codes[:-1]) | (salt[1:] != salt[:-1])
+            if n > 1:
+                neq = pc.not_equal(term_pa.slice(1), term_pa.slice(0, n - 1))
+                change[1:] = neq.to_numpy(zero_copy_only=False) | (salt[1:] != salt[:-1])
             starts = np.flatnonzero(change)
 
             if starts.size == 1:
                 # the whole batch is one (possibly continuing) group
-                carry = {"term": term, "tb": tb, "salt": salt,
+                carry = {"term_pa": term_pa, "tb": tb, "salt": salt,
                          "docs": docs, "tfs": tfs, "dls": dls}
                 continue
 
             last_start = int(starts[-1])
             carry = {
-                "term": term[last_start:], "tb": tb[last_start:],
+                "term_pa": term_pa.slice(last_start), "tb": tb[last_start:],
                 "salt": salt[last_start:], "docs": docs[last_start:],
                 "tfs": tfs[last_start:], "dls": dls[last_start:],
             }
             # complete groups: boundaries = starts (last element == the
             # carried group's start == end of the complete region)
             go = starts.astype(np.int64)
+            if aggregated:
+                region = (docs[:last_start], tfs[:last_start], dls[:last_start], go)
+            else:
+                region = _occurrences_to_runs(
+                    change, docs, dls, last_start, go)
             yield emit(
                 tb[starts[:-1]],
-                [term[i] for i in starts[:-1]],
+                term_pa.take(pa.array(starts[:-1], type=pa.int64())),
                 salt[starts[:-1]],
-                docs[:last_start], tfs[:last_start], dls[:last_start],
-                go,
+                *region,
             )
 
-        if carry is not None and len(carry["term"]):
+        if carry is not None and len(carry["tb"]):
             docs = carry["docs"]
+            L = docs.size
+            go = np.array([0, L], dtype=np.int64)
+            if aggregated:
+                region = (docs, carry["tfs"], carry["dls"], go)
+            else:
+                cmask = np.zeros(L, dtype=bool)
+                cmask[0] = True
+                region = _occurrences_to_runs(cmask, docs, carry["dls"], L, go)
             yield emit(
-                carry["tb"][:1], [carry["term"][0]], carry["salt"][:1],
-                docs, carry["tfs"], carry["dls"],
-                np.array([0, docs.size], dtype=np.int64),
+                carry["tb"][:1], carry["term_pa"].slice(0, 1), carry["salt"][:1],
+                *region,
             )
 
     return encode
+
+
+def _occurrences_to_runs(group_change, docs, dls, L, group_offsets):
+    """Raw occurrence region -> (unique docs, tf run-lengths, dls,
+    group offsets remapped to run space). group_change is the group
+    boundary mask over the full concat array; only [:L] is complete."""
+    doc_change = np.empty(L, dtype=bool)
+    doc_change[0] = True
+    if L > 1:
+        doc_change[1:] = docs[1:L] != docs[:L - 1]
+    rmask = group_change[:L] | doc_change
+    rstarts = np.flatnonzero(rmask)
+    run_ends = np.append(rstarts[1:], L)
+    return (
+        docs[rstarts],
+        (run_ends - rstarts).astype(np.int64),
+        dls[rstarts],
+        np.searchsorted(rstarts, group_offsets).astype(np.int64),
+    )
 
 
 def build_index(
@@ -376,21 +422,23 @@ def build_index(
         avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
         nb, ns = config.n_term_buckets, config.n_salt_buckets
-        tf = (
+        salt_col = F.least(
+            F.lit(ns - 1),
+            F.floor((F.col("doc_ord") - F.lit(doc_ord_base)) * ns
+                    / F.lit(max(n_docs, 1))),
+        ).cast("int")
+        occurrences = (
             df_tok.select("doc_ord", "dl", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_ord")
-            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
             .withColumn("term_bucket", term_bucket_col(F.col("term"), nb))
-            .withColumn(
-                "salt",
-                F.least(
-                    F.lit(ns - 1),
-                    F.floor((F.col("doc_ord") - F.lit(doc_ord_base)) * ns
-                            / F.lit(max(n_docs, 1))),
-                ).cast("int"),
-            )
+            .withColumn("salt", salt_col)
         )
         if config.checkpoint_runs:
+            # the on-disk SPIMI runs are pre-aggregated (compact) —
+            # this is the resumable configuration
+            tf = (
+                occurrences.groupBy("term_bucket", "term", "salt", "doc_ord")
+                .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            )
             tf_staging = catalog.staging_dir(index_dir, "tf")
             # co-locate each bucket in one task before the partitioned
             # write: file count = n_buckets, not tasks × buckets
@@ -398,8 +446,14 @@ def build_index(
             tf.write.mode("overwrite").partitionBy("term_bucket").parquet(tf_staging)
             catalog.commit_staging(index_dir, "tf", catalog.tf_dir(index_dir))
             df_tok._sparkbm25_cached.unpersist()
+        elif config.encoder == "stream":
+            # direct path: raw occurrences flow into the shuffle-sort
+            # encoder, which counts tf as run-lengths — the
+            # groupBy(term, doc) hash-agg shuffle disappears entirely
+            tf_df = occurrences
         else:
-            tf_df = tf  # streamed straight into the segment build
+            tf_df = occurrences.groupBy("term_bucket", "term", "salt", "doc_ord").agg(
+                F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
 
         catalog.write_stats(
             index_dir,
@@ -436,14 +490,18 @@ def build_index(
             # shuffle-sort SPIMI merge: hash-shuffle by (term, salt) so a
             # group lives in exactly one partition, cluster it with a
             # partition-local sort, stream-encode with group carry.
+            aggregated = "tf" in tf_chunk.columns
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            cols = ["term_bucket", "term", "salt", "doc_ord", "dl"] + (
+                ["tf"] if aggregated else [])
             sorted_tf = (
                 tf_chunk.repartition(n_shuffle, "term", "salt")
                 .sortWithinPartitions("term", "salt", "doc_ord")
-                .select("term_bucket", "term", "salt", "doc_ord", "tf", "dl")
+                .select(*cols)
             )
             stream_enc = _make_stream_encoder(k1, b, float(avgdl), bs,
-                                              postings_acc, rows_acc)
+                                              postings_acc, rows_acc,
+                                              aggregated=aggregated)
             seg = sorted_tf.mapInArrow(stream_enc, schema=SEGMENT_SCHEMA)
         else:
             grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(

@@ -65,6 +65,21 @@ def test_wand_parity(spark, corpus, queries, built, mode):
             got["score"].astype(float), eq["score"].astype(float), rtol=1e-9)
 
 
+def test_streamlined_config_parity(spark, corpus, queries, tmp_path):
+    """The bench configuration (no runs checkpoint, occurrence-stream
+    encoder — tf computed as run-lengths inside the sorted shuffle)
+    must be rank-identical too."""
+    cfg = IndexConfig(n_build_chunks=1, checkpoint_runs=False,
+                      build_terms_dict=False, encoder="stream")
+    d = str(tmp_path / "fastidx")
+    sdf = spark.createDataFrame(corpus)
+    res = build_index(spark, sdf, d, cfg, input_desc="fast")
+    assert res.n_docs == N_TURNS
+    exp = bm25_reference_topk(corpus, queries, k=10)
+    got = search_batch(spark, d, queries, k=10).toPandas()
+    _assert_parity(got, exp)
+
+
 def test_text_equality_invariant(spark, corpus, built):
     """Per-turn text equality under stable (conv_id, turn_idx) ordering
     (BASELINE.json input_hint): the forward table's docID assignment
