@@ -23,6 +23,21 @@ from sparkbm25.build import build_index
 from sparkbm25.search import Searcher, search_batch
 from sparkbm25.refscore import bm25_reference_topk
 
+
+def update_index(*args, **kwargs):
+    """Incremental generation append (see streaming.update_index)."""
+    from sparkbm25.streaming import update_index as _f
+
+    return _f(*args, **kwargs)
+
+
+def curate_and_index(*args, **kwargs):
+    """Dedup/quality/lang curation + index build (see pipeline)."""
+    from sparkbm25.pipeline import curate_and_index as _f
+
+    return _f(*args, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -31,4 +46,6 @@ __all__ = [
     "Searcher",
     "search_batch",
     "bm25_reference_topk",
+    "update_index",
+    "curate_and_index",
 ]

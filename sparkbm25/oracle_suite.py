@@ -492,6 +492,23 @@ def q_ann_ivf(spark, sf_dir):
                            n_probe=4)
 
 
+def q_curate_exact_dedup_count(spark, sf_dir):
+    """Curation pipeline head: survivors after exact dedup (one doc
+    kept per distinct content hash)."""
+    from sparkbm25.pipeline import CurationConfig, curate
+
+    t = docs_as_transcripts(spark, sf_dir)
+    survivors, _stats = curate(
+        spark, t,
+        CurationConfig(exact_dedup=True, near_dedup=False, min_quality=0.0))
+    return survivors.agg(F.count(F.lit(1)).alias("n_survivors"))
+
+
+SQL_CURATE_EXACT = (
+    "SELECT count(DISTINCT md5(text)) AS n_survivors FROM documents"
+)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-asset plumbing: documents' text bytes as opaque payloads
     through the Arrow feature-extraction stage (decode kernel stubbed,
@@ -894,6 +911,7 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ann_ivf, None),
     "multimodal_features": (q_multimodal_features, None),
+    "curate_exact_dedup": (q_curate_exact_dedup_count, SQL_CURATE_EXACT),
     "windowed_rate": (q_windowed_rate, SQL_WINDOWED_RATE),
     "sliding_avg": (q_sliding_avg, SQL_SLIDING_AVG),
     "worker_throughput": (q_worker_throughput, SQL_WORKER_THROUGHPUT),

@@ -1,0 +1,139 @@
+"""Training-data curation pipeline: the end-to-end flow a 100 TB
+corpus would run before indexing, composed from the engine's operators.
+
+    raw transcripts
+      → exact dedup          (content-hash groupBy keeps one per hash)
+      → near-dup dedup       (MinHash-LSH candidates + Jaccard verify,
+                              keep the smallest doc id of each cluster)
+      → quality filter       (token/alpha/stopword features)
+      → language filter      (stopword-profile heuristic)
+      → build_index          (SPIMI build over the survivors)
+
+Every stage is a DataFrame→DataFrame transform — the whole pipeline is
+one lazy plan until the index build materializes it, so Catalyst fuses
+the filters and the scan reads each surviving row once.
+
+This is the engine analog of the reference's scan→filter→transform
+pipeline (es_translator.py scan + is_translated gate + translate),
+widened to the dedup/quality/lang operators a curation job needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparkbm25.build import BuildResult, build_index
+from sparkbm25.config import IndexConfig
+
+
+@dataclass
+class CurationConfig:
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    jaccard_threshold: float = 0.85
+    minhash_bands: int = 4
+    min_quality: float = 0.3
+    keep_langs: tuple[str, ...] = ()   # empty = keep all
+
+
+@dataclass
+class CurationResult:
+    n_input: int
+    n_after_exact: int
+    n_after_near: int
+    n_after_quality: int
+    n_after_lang: int
+    build: BuildResult | None
+
+
+def _doc_key(df: DataFrame) -> DataFrame:
+    """Stable per-turn key for dedup bookkeeping."""
+    return df.withColumn(
+        "_key", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx")))
+
+
+def curate(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+) -> tuple[DataFrame, dict]:
+    """Apply the dedup/quality/lang stages; returns (survivors, stats).
+
+    Counts per stage are computed on the fly only when the caller asks
+    (stats values are lazily-evaluated DataFrames' counts here because
+    curation is usually followed by a materializing build)."""
+    from sparkbm25 import textops
+
+    stats: dict[str, int] = {"n_input": transcripts.count()}
+    df = _doc_key(transcripts)
+
+    if cfg.exact_dedup:
+        w_keep = (
+            df.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("_key").alias("_key"))
+        )
+        df = df.join(w_keep, "_key", "left_semi")
+        stats["n_after_exact"] = df.count()
+    else:
+        stats["n_after_exact"] = stats["n_input"]
+
+    if cfg.near_dedup:
+        docs_for_lsh = df.select(F.col("_key").alias("doc_id"), "text")
+        cands = textops.minhash_lsh_pairs(
+            docs_for_lsh, id_col="doc_id", bands=cfg.minhash_bands)
+        dup_pairs = textops.ngram_jaccard(
+            docs_for_lsh, cands, id_col="doc_id",
+            threshold=cfg.jaccard_threshold)
+        # keep the lexicographically-smallest member of every pair:
+        # drop the larger id (transitive clusters resolve over passes;
+        # one pass removes every doc that has a smaller near-duplicate)
+        losers = dup_pairs.select(F.col("id2").alias("_key")).distinct()
+        df = df.join(losers, "_key", "left_anti")
+        stats["n_after_near"] = df.count()
+    else:
+        stats["n_after_near"] = stats["n_after_exact"]
+
+    if cfg.min_quality > 0:
+        q = textops.quality_score(
+            df.select(F.col("_key").alias("doc_id"), "text"), id_col="doc_id")
+        keep = q.where(F.col("quality") >= cfg.min_quality).select(
+            F.col("id").alias("_key"))
+        df = df.join(keep, "_key", "left_semi")
+        stats["n_after_quality"] = df.count()
+    else:
+        stats["n_after_quality"] = stats["n_after_near"]
+
+    if cfg.keep_langs:
+        lang = textops.lang_id(
+            df.select(F.col("_key").alias("doc_id"), "text"), id_col="doc_id")
+        keep = lang.where(F.col("lang_pred").isin(list(cfg.keep_langs))).select(
+            F.col("id").alias("_key"))
+        df = df.join(keep, "_key", "left_semi")
+        stats["n_after_lang"] = df.count()
+    else:
+        stats["n_after_lang"] = stats["n_after_quality"]
+
+    return df.drop("_key"), stats
+
+
+def curate_and_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    curation: CurationConfig = CurationConfig(),
+    index_config: IndexConfig = IndexConfig(),
+    input_desc: str = "",
+) -> CurationResult:
+    survivors, stats = curate(spark, transcripts, curation)
+    build = build_index(spark, survivors, index_dir, index_config,
+                        input_desc=input_desc or "curated")
+    return CurationResult(
+        n_input=stats["n_input"],
+        n_after_exact=stats["n_after_exact"],
+        n_after_near=stats["n_after_near"],
+        n_after_quality=stats["n_after_quality"],
+        n_after_lang=stats["n_after_lang"],
+        build=build,
+    )

@@ -1,0 +1,72 @@
+"""End-to-end curation pipeline: dedup + quality + lang filtering into
+an index that still answers searches."""
+
+import datetime
+
+import pytest
+
+from sparkbm25 import Searcher
+from sparkbm25.config import IndexConfig
+from sparkbm25.pipeline import CurationConfig, curate, curate_and_index
+
+
+@pytest.fixture(scope="module")
+def dirty_corpus(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(40):
+        # each doc gets enough unique trailing tokens that distinct
+        # docs stay below the 0.8 jaccard near-dup threshold
+        uniq = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        rows.append((f"conv_{i:04d}", 0, "user", f"{base} {uniq}", None,
+                     datetime.datetime(2026, 1, 1)))
+    # exact dups of conv_0000
+    for j in range(3):
+        rows.append((f"dup_{j}", 0, "user",
+                     f"{base} alpha0 beta0 gamma0 delta0 epsilon0 zeta0", None,
+                     datetime.datetime(2026, 1, 1)))
+    # near dup of conv_0001 (one word appended)
+    rows.append(("near_0", 0, "user",
+                 f"{base} alpha1 beta1 gamma1 delta1 epsilon1 zeta1 extra", None,
+                 datetime.datetime(2026, 1, 1)))
+    # junk: empty and punctuation-only
+    rows.append(("junk_0", 0, "user", "", None, datetime.datetime(2026, 1, 1)))
+    rows.append(("junk_1", 0, "user", "!!! ??? ...", None, datetime.datetime(2026, 1, 1)))
+    # non-english
+    rows.append(("fr_0", 0, "user",
+                 "le chat est sur la table et il est content de la vie", None,
+                 datetime.datetime(2026, 1, 1)))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+
+def test_curate_stages(spark, dirty_corpus):
+    survivors, stats = curate(spark, dirty_corpus, CurationConfig(
+        jaccard_threshold=0.8, min_quality=0.2, keep_langs=("en",)))
+    assert stats["n_input"] == 47
+    # 3 exact dups removed (keep one of the 4 identical texts)
+    assert stats["n_after_exact"] == 44
+    # near-dup pass removes at least the planted near_0 or its twin
+    assert stats["n_after_near"] < stats["n_after_exact"]
+    assert stats["n_after_quality"] < stats["n_after_near"]
+    assert stats["n_after_lang"] < stats["n_after_quality"]
+    kept = {r["conv_id"] for r in survivors.select("conv_id").collect()}
+    # the planted near-dup cluster lost a member
+    assert not {"near_0", "conv_0001"} <= kept
+    # junk killed by quality, french by lang filter
+    assert "junk_0" not in kept and "junk_1" not in kept and "fr_0" not in kept
+    # exactly one survivor of the 4 identical texts
+    assert len({"dup_0", "dup_1", "dup_2", "conv_0000"} & kept) == 1
+
+
+def test_curate_and_index_searchable(spark, dirty_corpus, tmp_path):
+    res = curate_and_index(
+        spark, dirty_corpus, str(tmp_path / "cidx"),
+        CurationConfig(jaccard_threshold=0.8, min_quality=0.2, keep_langs=("en",)),
+        IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1),
+    )
+    assert res.build.n_docs == res.n_after_lang
+    s = Searcher(spark, str(tmp_path / "cidx"))
+    hits = s.search("quick fox", k=5)
+    assert len(hits) == 5
