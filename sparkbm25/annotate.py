@@ -1,0 +1,104 @@
+"""Partial-update sink: append derived values to a nested array column
+of the forward table, keyed by (conv_id, turn_idx).
+
+This is the engine analog of the reference's core write — an
+update-by-id that APPENDS a struct to the nested `content_translated`
+array of an existing ES document, keyed by (index, id, routing) with
+concurrent writers (es_translator/es.py:92-129). Here:
+
+  * the nested column is `annotations: array<struct<name,value>>` on
+    the forward (docs) table;
+  * the merge is a broadcast-friendly left join + conditional
+    array_append — one pass over the table, no read-modify-write per
+    row;
+  * the commit is the index's atomic staging rename (catalog), so a
+    crashed annotate never leaves a half-written docs table. On an
+    Iceberg/Delta catalog the identical plan is `MERGE INTO ... WHEN
+    MATCHED THEN UPDATE SET annotations = array_append(...)`, and only
+    the partitions containing matched keys rewrite; plain parquet has
+    no partition-level upsert, so each generation's docs table
+    rewrites whole (bounded: generations are append-batches, so at
+    100 TB you annotate the generations the keys live in, not the
+    world).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from sparkbm25 import catalog
+
+ANNOTATION_TYPE = ArrayType(StructType([
+    StructField("name", StringType()),
+    StructField("value", StringType()),
+]))
+
+
+def annotate_docs(
+    spark: SparkSession,
+    index_dir: str,
+    updates: DataFrame,
+    name: str,
+    value_col: str = "value",
+) -> int:
+    """Append {name, value} to the `annotations` array of every doc
+    matched by `updates` (conv_id, turn_idx, <value_col>). Returns the
+    number of rows annotated. Unmatched docs keep their annotations
+    (or gain an empty array on first annotate)."""
+    upd = updates.select(
+        F.col("conv_id").cast("string").alias("_u_conv_id"),
+        F.col("turn_idx").cast("int").alias("_u_turn_idx"),
+        F.col(value_col).cast("string").alias("_u_value"),
+    )
+    n_updated = 0
+    for gen in catalog.generation_dirs(index_dir):
+        docs_path = catalog.docs_dir(gen)
+        docs = spark.read.parquet(docs_path)
+        if "annotations" not in docs.columns:
+            docs = docs.withColumn(
+                "annotations", F.lit(None).cast(ANNOTATION_TYPE))
+        joined = docs.join(
+            upd,
+            (docs["conv_id"] == upd["_u_conv_id"])
+            & (docs["turn_idx"] == upd["_u_turn_idx"]),
+            "left",
+        )
+        base = F.coalesce(F.col("annotations"),
+                          F.lit([]).cast(ANNOTATION_TYPE))
+        merged = joined.select(
+            *[c for c in docs.columns if c != "annotations"],
+            F.when(
+                F.col("_u_value").isNotNull(),
+                F.array_append(
+                    base,
+                    F.struct(F.lit(name).alias("name"),
+                             F.col("_u_value").alias("value"))),
+            ).otherwise(base).alias("annotations"),
+        )
+        staging = catalog.staging_dir(gen, "docs_annotate")
+        merged.write.mode("overwrite").parquet(staging)
+        # count matched rows from the committed data (no extra lineage
+        # recompute: the write materialized it)
+        committed = spark.read.parquet(staging)
+        n_updated += (
+            committed.where(F.exists(
+                "annotations", lambda a: a["name"] == F.lit(name)))
+            .count())
+        catalog.commit_staging(gen, "docs_annotate", docs_path)
+    return n_updated
+
+
+def read_annotations(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(conv_id, turn_idx, name, value) — the exploded nested array."""
+    docs = spark.read.parquet(*catalog.docs_paths(index_dir))
+    if "annotations" not in docs.columns:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, name string, value string")
+    return (
+        docs.select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+                    F.explode("annotations").alias("a"))
+        .select("conv_id", "turn_idx", "a.name", "a.value")
+    )

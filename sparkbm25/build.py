@@ -47,11 +47,16 @@ from pyspark.storagelevel import StorageLevel
 from sparkbm25 import catalog
 from sparkbm25.config import IndexConfig
 
-SEGMENT_SCHEMA = (
-    "term_bucket int, term string, salt int, n_docs bigint, "
-    "blocks array<struct<first_doc:bigint,n:int,gaps:binary,tfs:binary,"
-    "dls:binary,max_impact:double>>"
-)
+def segment_schema(with_pos: bool = False) -> str:
+    pos = ",pos:binary" if with_pos else ""
+    return (
+        "term_bucket int, term string, salt int, n_docs bigint, "
+        "blocks array<struct<first_doc:bigint,n:int,gaps:binary,tfs:binary,"
+        f"dls:binary,max_impact:double{pos}>>"
+    )
+
+
+SEGMENT_SCHEMA = segment_schema()
 
 
 @dataclass
@@ -149,27 +154,25 @@ def term_bucket_col(term_col, n_buckets: int):
     ).cast("int")
 
 
-_BLOCK_PA_TYPE = None
+_BLOCK_PA_TYPES: dict[bool, object] = {}
 
 
-def _block_pa_type():
+def _block_pa_type(with_pos: bool = False):
     import pyarrow as pa
 
-    global _BLOCK_PA_TYPE
-    if _BLOCK_PA_TYPE is None:
-        _BLOCK_PA_TYPE = pa.list_(
-            pa.struct(
-                [
-                    ("first_doc", pa.int64()),
-                    ("n", pa.int32()),
-                    ("gaps", pa.binary()),
-                    ("tfs", pa.binary()),
-                    ("dls", pa.binary()),
-                    ("max_impact", pa.float64()),
-                ]
-            )
-        )
-    return _BLOCK_PA_TYPE
+    if with_pos not in _BLOCK_PA_TYPES:
+        fields = [
+            ("first_doc", pa.int64()),
+            ("n", pa.int32()),
+            ("gaps", pa.binary()),
+            ("tfs", pa.binary()),
+            ("dls", pa.binary()),
+            ("max_impact", pa.float64()),
+        ]
+        if with_pos:
+            fields.append(("pos", pa.binary()))
+        _BLOCK_PA_TYPES[with_pos] = pa.list_(pa.struct(fields))
+    return _BLOCK_PA_TYPES[with_pos]
 
 
 def _make_segment_encoder(k1: float, b: float, avgdl: float, block_size: int):
@@ -216,20 +219,31 @@ def _make_segment_encoder(k1: float, b: float, avgdl: float, block_size: int):
 
 def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                          postings_acc=None, rows_acc=None,
-                         aggregated: bool = True):
-    """Streaming SPIMI-merge encoder: consumes Arrow batches of
-    (term_bucket, term, salt, doc_ord, tf, dl) rows sorted by
-    (term, salt, doc_ord) within the partition, emits one segment row
-    per (term, salt) group. A group may span batches — the tail group
-    is carried; nothing else is buffered, so executor memory is O(one
-    group), not O(collect_list of the hot term).
+                         aggregated: bool = True, with_pos: bool = False,
+                         lean: dict | None = None):
+    """Streaming SPIMI-merge encoder: consumes Arrow batches of posting
+    rows sorted by (term[, salt], doc_ord) within the partition, emits
+    one segment row per (term, salt) group. A group may span batches —
+    the tail group is carried; nothing else is buffered, so executor
+    memory is O(one group), not O(collect_list of the hot term).
 
     aggregated=False: input rows are raw token OCCURRENCES (no tf
     column, duplicate doc_ords adjacent after the sort). tf is then a
     run-length count computed inline — this removes the
     groupBy(term, doc_ord) hash-agg shuffle from the build entirely
     (salt is a function of doc_ord, so (term, doc) duplicates are
-    guaranteed co-located and adjacent)."""
+    guaranteed co-located and adjacent).
+
+    lean (only with aggregated=False): the shuffled rows carry ONLY
+    (term, doc_ord, dl[, pos]) — term_bucket and salt are NOT
+    materialized through the shuffle (the dominant memory-bandwidth
+    cost of the build is shuffle row bytes; dropping 8-12 bytes/
+    occurrence cuts it ~25%). The encoder recomputes salt from doc_ord
+    (vectorized; salt is doc_ord-range monotone, so sorting by
+    (term, doc_ord) still yields contiguous (term, salt) runs) and
+    crc32 term buckets per GROUP (not per occurrence).
+    lean = {'nb': n_term_buckets, 'ns': n_salt_buckets,
+            'base': doc_ord_base, 'n': n_docs}."""
 
     def encode(batches):
         import pyarrow as pa
@@ -239,10 +253,12 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
 
         carry = None  # dict: term_pa (pa array) + numpy int arrays
 
-        def emit(tb_arr, terms_pa, salts, docs, tfs, dls, group_offsets):
+        def emit(tb_arr, terms_pa, salts, docs, tfs, dls, group_offsets,
+                 positions=None, occ_offsets=None):
             blocks = encode_blocks_batch(
                 docs, tfs, dls, group_offsets,
-                k1=k1, b=b, avgdl=avgdl, block_size=block_size)
+                k1=k1, b=b, avgdl=avgdl, block_size=block_size,
+                positions=positions, occ_offsets=occ_offsets)
             if postings_acc is not None:
                 postings_acc.add(int(docs.size))
                 rows_acc.add(int(group_offsets.size - 1))
@@ -252,7 +268,7 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                     terms_pa.cast(pa.string()),
                     pa.array(salts, type=pa.int32()),
                     pa.array(np.diff(group_offsets), type=pa.int64()),
-                    pa.array(blocks, type=_block_pa_type()),
+                    pa.array(blocks, type=_block_pa_type(with_pos)),
                 ],
                 names=["term_bucket", "term", "salt", "n_docs", "blocks"],
             )
@@ -276,6 +292,8 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                 tfs = np.ones(rb.num_rows, dtype=np.int64)  # placeholder
             dls = rb.column(rb.schema.get_field_index("dl")).to_numpy(
                 zero_copy_only=False)
+            pos = (rb.column(rb.schema.get_field_index("pos")).to_numpy(
+                zero_copy_only=False) if with_pos else None)
 
             if carry is not None:
                 term_pa = pa.concat_arrays(
@@ -285,6 +303,8 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                 docs = np.concatenate([carry["docs"], docs])
                 tfs = np.concatenate([carry["tfs"], tfs])
                 dls = np.concatenate([carry["dls"], dls])
+                if with_pos:
+                    pos = np.concatenate([carry["pos"], pos])
                 carry = None
 
             n = len(tb)
@@ -300,7 +320,7 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
             if starts.size == 1:
                 # the whole batch is one (possibly continuing) group
                 carry = {"term_pa": term_pa, "tb": tb, "salt": salt,
-                         "docs": docs, "tfs": tfs, "dls": dls}
+                         "docs": docs, "tfs": tfs, "dls": dls, "pos": pos}
                 continue
 
             last_start = int(starts[-1])
@@ -308,20 +328,23 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                 "term_pa": term_pa.slice(last_start), "tb": tb[last_start:],
                 "salt": salt[last_start:], "docs": docs[last_start:],
                 "tfs": tfs[last_start:], "dls": dls[last_start:],
+                "pos": pos[last_start:] if with_pos else None,
             }
             # complete groups: boundaries = starts (last element == the
             # carried group's start == end of the complete region)
             go = starts.astype(np.int64)
             if aggregated:
                 region = (docs[:last_start], tfs[:last_start], dls[:last_start], go)
+                kw = {}
             else:
-                region = _occurrences_to_runs(
-                    change, docs, dls, last_start, go)
+                region, kw = _occurrences_to_runs(
+                    change, docs, dls, last_start, go,
+                    pos if with_pos else None)
             yield emit(
                 tb[starts[:-1]],
                 term_pa.take(pa.array(starts[:-1], type=pa.int64())),
                 salt[starts[:-1]],
-                *region,
+                *region, **kw,
             )
 
         if carry is not None and len(carry["tb"]):
@@ -330,22 +353,27 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
             go = np.array([0, L], dtype=np.int64)
             if aggregated:
                 region = (docs, carry["tfs"], carry["dls"], go)
+                kw = {}
             else:
                 cmask = np.zeros(L, dtype=bool)
                 cmask[0] = True
-                region = _occurrences_to_runs(cmask, docs, carry["dls"], L, go)
+                region, kw = _occurrences_to_runs(
+                    cmask, docs, carry["dls"], L, go, carry["pos"])
             yield emit(
                 carry["tb"][:1], carry["term_pa"].slice(0, 1), carry["salt"][:1],
-                *region,
+                *region, **kw,
             )
 
     return encode
 
 
-def _occurrences_to_runs(group_change, docs, dls, L, group_offsets):
-    """Raw occurrence region -> (unique docs, tf run-lengths, dls,
-    group offsets remapped to run space). group_change is the group
-    boundary mask over the full concat array; only [:L] is complete."""
+def _occurrences_to_runs(group_change, docs, dls, L, group_offsets, pos=None):
+    """Raw occurrence region -> ((unique docs, tf run-lengths, dls,
+    group offsets remapped to run space), positions kwargs). The
+    occurrence stream is sorted by (term, salt, doc_ord[, pos]), so a
+    run == one posting and its occurrence slice == the posting's
+    within-doc positions. group_change is the group boundary mask over
+    the full concat array; only [:L] is complete."""
     doc_change = np.empty(L, dtype=bool)
     doc_change[0] = True
     if L > 1:
@@ -353,12 +381,17 @@ def _occurrences_to_runs(group_change, docs, dls, L, group_offsets):
     rmask = group_change[:L] | doc_change
     rstarts = np.flatnonzero(rmask)
     run_ends = np.append(rstarts[1:], L)
-    return (
+    region = (
         docs[rstarts],
         (run_ends - rstarts).astype(np.int64),
         dls[rstarts],
         np.searchsorted(rstarts, group_offsets).astype(np.int64),
     )
+    kw = {}
+    if pos is not None:
+        kw = {"positions": pos[:L].astype(np.int64),
+              "occ_offsets": np.append(rstarts, L).astype(np.int64)}
+    return region, kw
 
 
 def build_index(
@@ -427,8 +460,18 @@ def build_index(
             F.floor((F.col("doc_ord") - F.lit(doc_ord_base)) * ns
                     / F.lit(max(n_docs, 1))),
         ).cast("int")
+        if config.store_positions:
+            if config.checkpoint_runs or config.encoder != "stream":
+                raise ValueError(
+                    "store_positions rides the raw occurrence stream: "
+                    "use IndexConfig(encoder='stream', checkpoint_runs=False)")
+            occurrences = df_tok.select(
+                "doc_ord", "dl", F.posexplode("tokens").alias("pos", "term"))
+        else:
+            occurrences = df_tok.select(
+                "doc_ord", "dl", F.explode("tokens").alias("term"))
         occurrences = (
-            df_tok.select("doc_ord", "dl", F.explode("tokens").alias("term"))
+            occurrences
             .withColumn("term_bucket", term_bucket_col(F.col("term"), nb))
             .withColumn("salt", salt_col)
         )
@@ -491,18 +534,24 @@ def build_index(
             # group lives in exactly one partition, cluster it with a
             # partition-local sort, stream-encode with group carry.
             aggregated = "tf" in tf_chunk.columns
+            with_pos = config.store_positions and not aggregated
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            cols = ["term_bucket", "term", "salt", "doc_ord", "dl"] + (
-                ["tf"] if aggregated else [])
+            cols = (["term_bucket", "term", "salt", "doc_ord", "dl"]
+                    + (["tf"] if aggregated else [])
+                    + (["pos"] if with_pos else []))
+            sort_cols = ["term", "salt", "doc_ord"] + (
+                ["pos"] if with_pos else [])
             sorted_tf = (
                 tf_chunk.repartition(n_shuffle, "term", "salt")
-                .sortWithinPartitions("term", "salt", "doc_ord")
+                .sortWithinPartitions(*sort_cols)
                 .select(*cols)
             )
             stream_enc = _make_stream_encoder(k1, b, float(avgdl), bs,
                                               postings_acc, rows_acc,
-                                              aggregated=aggregated)
-            seg = sorted_tf.mapInArrow(stream_enc, schema=SEGMENT_SCHEMA)
+                                              aggregated=aggregated,
+                                              with_pos=with_pos)
+            seg = sorted_tf.mapInArrow(stream_enc,
+                                       schema=segment_schema(with_pos))
         else:
             grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(
                 F.sort_array(
@@ -551,6 +600,7 @@ def build_index(
             "terms", -1, 0, n_terms, d0, d1, lineage))
 
     catalog.clear_staging(index_dir)
+    catalog.write_complete_marker(index_dir)
     seconds = time.time() - t0
     return BuildResult(
         index_dir=index_dir,

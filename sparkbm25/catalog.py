@@ -131,11 +131,18 @@ def read_manifest(index_dir: str) -> pd.DataFrame:
     return pq.read_table(d).to_pandas()
 
 
-def generation_dirs(index_root: str) -> list[str]:
+def generation_dirs(index_root: str, include_dead: bool = False) -> list[str]:
     """Generations of an incrementally-built index (streaming.py):
     index_root/gen=K/ each a self-contained sub-index. A plain
     single-shot index has no gen=* children and IS its own (only)
-    generation."""
+    generation.
+
+    A gen dir without the _COMPLETE marker (written as build_index's
+    final step) is a crashed build; it is never part of the readable
+    index and is skipped unless include_dead (update_index uses
+    include_dead to avoid reusing a dead generation's id, and wipes
+    dead dirs before appending). Round-1 raised FileNotFoundError on
+    every query/update after one crashed generation (ADVICE fix)."""
     if os.path.exists(stats_path(index_root)):
         return [index_root]
     if not os.path.isdir(index_root):
@@ -144,7 +151,19 @@ def generation_dirs(index_root: str) -> list[str]:
         (d for d in os.listdir(index_root) if d.startswith("gen=")),
         key=lambda d: int(d.split("=")[1]),
     )
-    return [os.path.join(index_root, d) for d in gens]
+    out = [os.path.join(index_root, d) for d in gens]
+    if not include_dead:
+        out = [g for g in out if os.path.exists(complete_marker_path(g))]
+    return out
+
+
+def complete_marker_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_COMPLETE")
+
+
+def write_complete_marker(index_dir: str) -> None:
+    with open(complete_marker_path(index_dir), "w") as f:
+        f.write("ok\n")
 
 
 def segments_paths(index_root: str) -> list[str]:

@@ -46,6 +46,24 @@ def cmd_build(args) -> int:
         checkpoint_runs=not args.no_checkpoint,
     )
     df = spark.read.parquet(args.input)
+    if args.dry_run:
+        # S6: the reference's dry-run scans and counts but never writes
+        # (es_translator/es_translator.py:242-244) — here: resolve the
+        # input, validate the schema, count, print the plan summary.
+        missing = {c for c in ("conv_id", "turn_idx", "text")
+                   if c not in df.columns}
+        if missing:
+            print(json.dumps({"dry_run": True, "error":
+                              f"missing columns: {sorted(missing)}"}))
+            return 1
+        n = df.count()
+        print(json.dumps({
+            "dry_run": True, "n_docs": n, "index": args.index,
+            "config_hash": cfg.config_hash(),
+            "would_write": ["docs", "segments", "terms", "stats.json",
+                            "manifest"],
+        }))
+        return 0
     res = build_index(spark, df, args.index, cfg, resume=args.resume,
                       input_desc=args.input)
     print(json.dumps({
@@ -91,6 +109,9 @@ def main(argv=None) -> int:
     pb.add_argument("--chunks", type=int, default=4)
     pb.add_argument("--no-checkpoint", action="store_true",
                     help="skip the SPIMI runs checkpoint (faster, less resumable)")
+    pb.add_argument("--dry-run", action="store_true",
+                    help="validate + count the input and print the build "
+                         "plan; write nothing (S6)")
     pb.add_argument("--master", default=None)
     pb.set_defaults(fn=cmd_build)
 

@@ -20,6 +20,13 @@ doc_ord-range-disjoint salt-bucket runs merge by concatenation):
                         scoring — no doc-norm join at query time)
     max_impact: double  max over block of tf/(tf + k1*(1-b+b*dl/avgdl))
                         → block score upper bound = qtf*idf*(k1+1)*max_impact
+    pos       : binary  OPTIONAL (IndexConfig.store_positions): varint
+                        within-doc token positions of every occurrence,
+                        posting-major; the first position of a posting
+                        is absolute, the rest are deltas; posting i has
+                        exactly tfs[i] positions — phrase queries need
+                        these (Lucene stores the same per-term position
+                        stream for its PhraseQuery).
 """
 
 from __future__ import annotations
@@ -106,6 +113,8 @@ def encode_blocks_batch(
     b: float,
     avgdl: float,
     block_size: int,
+    positions: np.ndarray | None = None,
+    occ_offsets: np.ndarray | None = None,
 ) -> list[list[dict]]:
     """Encode MANY posting groups in one vectorized pass.
 
@@ -114,6 +123,11 @@ def encode_blocks_batch(
     Returns a per-group list of block dicts. All heavy math (deltas,
     varint bytes, per-block max impact) is single-shot numpy; the only
     per-block Python is byte slicing + dict packing.
+
+    positions (optional): flat OCCURRENCE-space within-doc positions,
+    posting-major and ascending within each posting; occ_offsets
+    (len n+1) maps posting index -> occurrence index (cumsum of tfs).
+    When given, every block dict gains a 'pos' varint blob.
     """
     n = int(docs.size)
     G = int(group_offsets.size - 1)
@@ -146,22 +160,38 @@ def encode_blocks_batch(
     dl_buf, dl_off = varint_encode_with_offsets(dls.astype(np.uint64))
     gap_mv, tf_mv, dl_mv = memoryview(gap_buf), memoryview(tf_buf), memoryview(dl_buf)
 
+    pos_mv = pos_voff = None
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        occ_offsets = np.asarray(occ_offsets, dtype=np.int64)
+        # delta within posting, first-of-posting absolute
+        pdelta = positions.astype(np.uint64).copy()
+        if positions.size > 1:
+            pdelta[1:] = (positions[1:] - positions[:-1]).astype(np.uint64)
+        pstarts = occ_offsets[:-1]
+        pdelta[pstarts] = positions[pstarts].astype(np.uint64)
+        pos_buf, pos_voff_all = varint_encode_with_offsets(pdelta)
+        pos_mv = memoryview(pos_buf)
+        pos_voff = pos_voff_all
+
     # group id of each block, then cut the block list per group
     gid_of_block = np.searchsorted(group_offsets, bstarts, side="right") - 1
     out: list[list[dict]] = [[] for _ in range(G)]
     for i in range(bstarts.size):
         s, e = int(bstarts[i]), int(bends[i])
-        out[int(gid_of_block[i])].append(
-            {
-                "first_doc": int(first_docs[i]),
-                "n": int(bsizes[i]),
-                # gaps for elements s+1..e-1 (first-of-block excluded)
-                "gaps": bytes(gap_mv[gap_off[s + 1]:gap_off[e]]) if e - s > 1 else b"",
-                "tfs": bytes(tf_mv[tf_off[s]:tf_off[e]]),
-                "dls": bytes(dl_mv[dl_off[s]:dl_off[e]]),
-                "max_impact": float(max_imp[i]),
-            }
-        )
+        blk = {
+            "first_doc": int(first_docs[i]),
+            "n": int(bsizes[i]),
+            # gaps for elements s+1..e-1 (first-of-block excluded)
+            "gaps": bytes(gap_mv[gap_off[s + 1]:gap_off[e]]) if e - s > 1 else b"",
+            "tfs": bytes(tf_mv[tf_off[s]:tf_off[e]]),
+            "dls": bytes(dl_mv[dl_off[s]:dl_off[e]]),
+            "max_impact": float(max_imp[i]),
+        }
+        if pos_mv is not None:
+            os_, oe = int(occ_offsets[s]), int(occ_offsets[e])
+            blk["pos"] = bytes(pos_mv[pos_voff[os_]:pos_voff[oe]])
+        out[int(gid_of_block[i])].append(blk)
     return out
 
 
@@ -180,6 +210,28 @@ def decode_block(block) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varint_decode(get("tfs")).astype(np.int64)
     dls = varint_decode(get("dls")).astype(np.int64)
     return docs, tfs, dls
+
+
+def decode_block_positions(block, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One block's 'pos' blob -> (flat absolute positions int64,
+    occ_offsets int64 len n+1). tfs = the block's decoded term
+    frequencies (posting i owns tfs[i] consecutive positions).
+    Vectorized grouped cumsum: first-of-posting is absolute, the rest
+    are deltas."""
+    get = block.__getitem__ if isinstance(block, dict) else (lambda k: getattr(block, k))
+    raw = get("pos")
+    deltas = varint_decode(raw).astype(np.int64)
+    occ_offsets = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ_offsets[1:])
+    if deltas.size == 0:
+        return deltas, occ_offsets
+    cs = np.cumsum(deltas)
+    starts = occ_offsets[:-1]
+    # sum of all deltas before each posting start; subtracting it from
+    # the running cumsum restarts the sum at each absolute first pos
+    base = (cs[starts] - deltas[starts]).astype(np.int64)
+    flat = cs - np.repeat(base, np.asarray(tfs, dtype=np.int64))
+    return flat.astype(np.int64), occ_offsets
 
 
 def decode_blocks(blocks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -61,6 +61,12 @@ class IndexConfig:
     # it (routing is hashed; df comes from segment rows) — it exists
     # for analytics and the J5 inventory; skippable for raw throughput.
     build_terms_dict: bool = True
+    # Store within-doc token positions in the posting blocks (the
+    # Lucene positions stream analog). Required for phrase queries;
+    # costs ~1 varint per occurrence of index size. Positions ride the
+    # raw occurrence stream, so this needs encoder='stream' with
+    # checkpoint_runs=False (the pre-aggregated SPIMI runs drop them).
+    store_positions: bool = False
     # Segment encoder strategy:
     #   'collect' — JVM collect_list + sort_array per (term,salt) group,
     #               then batch-vectorized Arrow encode (bounded by salt).

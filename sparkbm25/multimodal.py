@@ -27,7 +27,8 @@ ASSET_SCHEMA = (
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int, codec:string>"
 )
 
-FEATURE_SCHEMA = "asset_id bigint, kind string, feature array<float>, feat_dim int"
+FEATURE_SCHEMA = ("asset_id bigint, kind string, feature array<float>, "
+                  "feat_dim int, n_bytes int")
 THUMB_SCHEMA = "asset_id bigint, thumb binary, width int, height int"
 FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame binary"
 
@@ -66,26 +67,29 @@ def extract_features(assets: DataFrame, dim: int = 64, batch_rows: int = 256) ->
     The real kernel would run a vision/audio encoder per batch
     (iterator-of-batches pattern: model loaded once per worker —
     SURVEY P8 analog). Stubbed deterministically when REAL_DECODERS is
-    False."""
+    False. Memory bound: incoming Arrow batches are re-chunked to
+    batch_rows INSIDE the stage — no session-global
+    arrow.maxRecordsPerBatch mutation (round-1 leaked that conf change
+    into every later job in the session; ADVICE fix)."""
 
     def feats(batches):
         for pdf in batches:
-            if REAL_DECODERS:
-                raise NotImplementedError(
-                    "plug a real image/audio encoder here (e.g. PIL + model)")
-            vecs = [_fake_feature(p, dim) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "kind": pdf["kind"],
-                    "feature": [v.tolist() for v in vecs],
-                    "feat_dim": dim,
-                }
-            )
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                if REAL_DECODERS:
+                    raise NotImplementedError(
+                        "plug a real image/audio encoder here (e.g. PIL + model)")
+                vecs = [_fake_feature(p, dim) for p in chunk["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"],
+                        "kind": chunk["kind"],
+                        "feature": [v.tolist() for v in vecs],
+                        "feat_dim": dim,
+                        "n_bytes": chunk["payload"].map(len).astype("int32"),
+                    }
+                )
 
-    # bound Arrow batch size so a batch of payloads fits executor memory
-    spark = assets.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return assets.mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 

@@ -1,20 +1,35 @@
-"""query_string parsing: structured predicates + full-text terms.
+"""query_string parsing: boolean structure, phrases, structured
+predicates, full-text terms.
 
 The reference hands Lucene query-string syntax straight to ES
 (es_translator/es_translator.py:313-323; docs/usage.md:94-103 shows
 "type:article AND status:published", docs/datashare.md:68
-"type:Document AND language:FRENCH"). Here the structured part
-becomes Catalyst predicates on the forward table (pushdown-friendly)
-and the bare terms go to the BM25 engine; BM25 statistics stay
-index-wide (ES semantics: a filter restricts candidates, it does not
-re-scope idf/avgdl).
+"type:Document AND language:FRENCH"). This parser covers the subset a
+reference user actually writes:
 
-Supported v1 syntax:
-    field:value          equality   (fields: role, tool, conv_id)
-    field:prefix*        prefix match
-    AND                  connective (implicit anyway; kept for parity
-                         with the reference's examples)
-    anything else        full-text term for BM25
+    field:value            equality   (fields: role, tool, conv_id)
+    field:prefix*          prefix match
+    NOT x      -x          negation           (NOT > AND > OR)
+    a AND b                conjunction
+    a OR b                 disjunction
+    "exact phrase"         positional phrase (index must store positions)
+    ( ... )                grouping
+    bare terms             full-text BM25 terms; adjacent clauses with
+                           no explicit operator keep the engine's
+                           legacy mode semantics ('or' = should-match,
+                           'and' = must-match) so v1 queries behave
+                           identically
+
+Semantics contract (documented for the SQL oracles):
+  * the boolean tree defines the CANDIDATE SET; the score is the sum of
+    BM25 contributions of every positive term/phrase leaf the doc
+    matches (ES disjunction-sum behavior). NOT leaves never score.
+  * structured predicates (field:value) are allowed as top-level
+    conjuncts only (exactly the reference's documented shapes); they
+    restrict candidates and never score. BM25 statistics stay
+    index-wide (ES semantics: a filter does not re-scope idf/avgdl).
+  * a phrase matches when its terms occur at consecutive positions; its
+    score is the sum of its member terms' BM25 contributions.
 """
 
 from __future__ import annotations
@@ -27,39 +42,250 @@ from pyspark.sql import functions as F
 
 FILTER_FIELDS = {"role", "tool", "conv_id"}
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Term:
+    text: str           # a single analyzed term
+
+
+@dataclass
+class Phrase:
+    terms: list[str]    # consecutive analyzed terms
+
+
+@dataclass
+class Filter:
+    fld: str
+    value: str
+
+
+@dataclass
+class Not:
+    child: "Node"
+
+
+@dataclass
+class And:
+    children: list["Node"]
+
+
+@dataclass
+class Or:
+    children: list["Node"]
+
+
+Node = Term | Phrase | Filter | Not | And | Or
 
 
 @dataclass
 class ParsedQuery:
-    filters: list[tuple[str, str]] = field(default_factory=list)  # (field, value)
+    """Backwards-compatible surface + the full AST.
+
+    filters: top-level (possibly negated) structured predicates.
+    tree:    boolean tree over Term/Phrase leaves (None if no text).
+    explicit: True when the user wrote boolean operators, NOT, or a
+              phrase — the engine then evaluates the tree instead of
+              legacy mode='or'/'and' semantics.
+    text:    the bare terms joined (legacy callers).
+    """
+    filters: list[tuple[str, str]] = field(default_factory=list)
+    neg_filters: list[tuple[str, str]] = field(default_factory=list)
+    tree: Node | None = None
+    explicit: bool = False
     text: str = ""
 
     @property
     def has_filters(self) -> bool:
-        return bool(self.filters)
+        return bool(self.filters) or bool(self.neg_filters)
+
+
+def _lex(q: str) -> list[str]:
+    return _TOKEN_RE.findall(q or "")
+
+
+class _Parser:
+    """Recursive descent: or_expr -> and_expr (OR and_expr)*;
+    and_expr -> unary (AND? unary)*  (implicit operator = AND glue at
+    the tree level; the engine maps an all-implicit query back to
+    legacy mode semantics); unary -> NOT unary | atom."""
+
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.explicit = False
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Node | None:
+        if not self.toks:
+            return None
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(f"unbalanced query at token {self.peek()!r}")
+        return node
+
+    def or_expr(self) -> Node:
+        parts = [self.and_expr()]
+        while self.peek() is not None and self.peek().upper() == "OR":
+            self.next()
+            self.explicit = True
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def and_expr(self) -> Node:
+        parts = [self.unary()]
+        while True:
+            t = self.peek()
+            if t is None or t == ")" or t.upper() == "OR":
+                break
+            if t.upper() == "AND":
+                self.next()
+                self.explicit = True
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def unary(self) -> Node:
+        t = self.peek()
+        if t is not None and (t.upper() == "NOT" or (t.startswith("-") and len(t) > 1)):
+            self.explicit = True
+            if t.upper() == "NOT":
+                self.next()
+            else:
+                self.toks[self.i] = t[1:]
+            return Not(self.unary())
+        return self.atom()
+
+    def atom(self) -> Node:
+        t = self.next()
+        if t == "(":
+            self.explicit = True
+            node = self.or_expr()
+            if self.peek() != ")":
+                raise ValueError("unbalanced parenthesis in query")
+            self.next()
+            return node
+        if t.startswith('"'):
+            self.explicit = True
+            return Phrase(_analyze(t.strip('"')))
+        m = _FIELD_RE.match(t)
+        if m and m.group(1).lower() in FILTER_FIELDS:
+            return Filter(m.group(1).lower(), m.group(2))
+        terms = _analyze(t)
+        if len(terms) == 1:
+            return Term(terms[0])
+        if not terms:
+            return And([])  # punctuation-only token: matches nothing extra
+        # one written word analyzing to several terms ('foo-bar'):
+        # conjunction of its parts (Lucene-ish)
+        return And([Term(x) for x in terms])
+
+
+def _analyze(text: str) -> list[str]:
+    """Query-side analysis — MUST match analysis.tokenize_series."""
+    return re.findall("[a-z0-9]+", (text or "").lower())
+
+
+def _extract_top_filters(node: Node | None):
+    """Split top-level AND conjuncts into (filters, neg_filters,
+    remaining text tree). Filters nested under OR or inside groups are
+    rejected (the reference's documented queries only use top-level
+    conjunct predicates)."""
+    filters: list[tuple[str, str]] = []
+    neg: list[tuple[str, str]] = []
+    rest: list[Node] = []
+    conjuncts = node.children if isinstance(node, And) else [node] if node else []
+    for c in conjuncts:
+        if isinstance(c, Filter):
+            filters.append((c.fld, c.value))
+        elif isinstance(c, Not) and isinstance(c.child, Filter):
+            neg.append((c.child.fld, c.child.value))
+        else:
+            _reject_nested_filters(c)
+            rest.append(c)
+    if not rest:
+        tree = None
+    elif len(rest) == 1:
+        tree = rest[0]
+    else:
+        tree = And(rest)
+    return filters, neg, tree
+
+
+def _reject_nested_filters(node: Node) -> None:
+    if isinstance(node, Filter):
+        raise ValueError(
+            "structured predicates (field:value) must be top-level AND "
+            "conjuncts, not nested under OR/NOT groups")
+    if isinstance(node, (And, Or)):
+        for c in node.children:
+            _reject_nested_filters(c)
+    elif isinstance(node, Not):
+        _reject_nested_filters(node.child)
+
+
+def collect_leaves(node: Node | None):
+    """Positive and negative Term/Phrase leaves of the tree in stable
+    left-to-right order. A leaf under an odd number of NOTs is
+    negative (never scores)."""
+    pos: list[Term | Phrase] = []
+    negd: list[Term | Phrase] = []
+
+    def walk(n: Node, neg: bool):
+        if isinstance(n, (Term, Phrase)):
+            (negd if neg else pos).append(n)
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c, neg)
+
+    if node is not None:
+        walk(node, False)
+    return pos, negd
 
 
 def parse_query_string(q: str) -> ParsedQuery:
-    filters: list[tuple[str, str]] = []
-    terms: list[str] = []
-    for tok in (q or "").split():
-        if tok.upper() == "AND":
-            continue
-        m = _FIELD_RE.match(tok)
-        if m and m.group(1).lower() in FILTER_FIELDS:
-            filters.append((m.group(1).lower(), m.group(2)))
-        else:
-            terms.append(tok)
-    return ParsedQuery(filters=filters, text=" ".join(terms))
+    p = _Parser(_lex(q))
+    tree = p.parse()
+    filters, neg_filters, text_tree = _extract_top_filters(tree)
+    pos, _neg = collect_leaves(text_tree)
+    bare = " ".join(t.text for t in pos if isinstance(t, Term))
+    return ParsedQuery(
+        filters=filters,
+        neg_filters=neg_filters,
+        tree=text_tree,
+        explicit=p.explicit,
+        text=bare,
+    )
 
 
-def filter_condition(filters: list[tuple[str, str]]) -> Column:
-    """AND of the structured predicates, as a Catalyst column over the
-    forward table (columns: conv_id, turn_idx, role, tool)."""
+def filter_condition(filters: list[tuple[str, str]],
+                     neg_filters: list[tuple[str, str]] = ()) -> Column:
+    """AND of the structured predicates (negated ones excluded), as a
+    Catalyst column over the forward table (columns: conv_id,
+    turn_idx, role, tool)."""
     cond = F.lit(True)
     for fld, val in filters:
         if val.endswith("*"):
             cond = cond & F.col(fld).startswith(val[:-1])
         else:
             cond = cond & (F.col(fld) == val)
+    for fld, val in neg_filters:
+        if val.endswith("*"):
+            cond = cond & ~F.col(fld).startswith(val[:-1])
+        else:
+            cond = cond & ~(F.col(fld) == val)
     return cond

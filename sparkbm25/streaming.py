@@ -31,16 +31,21 @@ from sparkbm25.config import IndexConfig
 
 
 def next_generation(index_root: str) -> tuple[int, int]:
-    """(next gen id, doc_ord base = docs so far)."""
-    gens = catalog.generation_dirs(index_root)
-    if not gens or gens == [index_root]:
-        if gens == [index_root]:
-            raise ValueError(
-                f"{index_root} holds a single-shot index; use a fresh root "
-                "for incremental generations")
+    """(next gen id, doc_ord base = docs so far).
+
+    Dead generations (crashed builds, no _COMPLETE marker) don't count
+    toward the doc_ord base — they are never read — but their ids are
+    not reused either, so the next id is max over ALL gen dirs + 1."""
+    all_gens = catalog.generation_dirs(index_root, include_dead=True)
+    if all_gens == [index_root]:
+        raise ValueError(
+            f"{index_root} holds a single-shot index; use a fresh root "
+            "for incremental generations")
+    live = catalog.generation_dirs(index_root)
+    if not all_gens:
         return 0, 0
-    total = sum(catalog.read_stats(g)["n_docs"] for g in gens)
-    last = int(os.path.basename(gens[-1]).split("=")[1])
+    total = sum(catalog.read_stats(g)["n_docs"] for g in live)
+    last = int(os.path.basename(all_gens[-1]).split("=")[1])
     return last + 1, total
 
 
@@ -51,8 +56,16 @@ def update_index(
     config: IndexConfig = IndexConfig(),
     input_desc: str = "",
 ) -> BuildResult:
-    """Append one batch of transcripts as a new index generation."""
+    """Append one batch of transcripts as a new index generation.
+    Crashed generations left by a dead builder are wiped first (resume
+    path: the batch that died is simply re-appended)."""
     os.makedirs(index_root, exist_ok=True)
+    import shutil
+
+    live = set(catalog.generation_dirs(index_root))
+    for g in catalog.generation_dirs(index_root, include_dead=True):
+        if g != index_root and g not in live:
+            shutil.rmtree(g, ignore_errors=True)
     gen_id, base = next_generation(index_root)
     gen_dir = os.path.join(index_root, f"gen={gen_id}")
     return build_index(

@@ -1,0 +1,125 @@
+"""Boolean query_string execution (OR/NOT/grouping) + positional
+phrase queries over the positions codec, verified against raw-text
+predicates; plus the Searcher's driver-collect bound routing and the
+streaming crash-resume path."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkbm25 import IndexConfig, Searcher, build_index, search_batch
+from sparkbm25.fixtures import make_transcripts
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    t = make_transcripts(2000, seed=9)
+    d = str(tmp_path_factory.mktemp("bool") / "idx")
+    build_index(
+        spark, spark.createDataFrame(t), d,
+        IndexConfig(store_positions=True, checkpoint_runs=False,
+                    n_term_buckets=8, n_salt_buckets=2),
+        input_desc="bool2000")
+    texts = {(r.conv_id, r.turn_idx): r.text.lower()
+             for r in t.itertuples(index=False)}
+    return t, d, texts
+
+
+def _words(texts, key):
+    return set(re.findall("[a-z0-9]+", texts[key]))
+
+
+def test_or_not_semantics(spark, built):
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2, w3 = toks[2], toks[3], toks[4]
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f"({w1} OR {w2}) AND NOT {w3}"],
+                      "k": [10]})
+    got = search_batch(spark, d, q, k=10).toPandas()
+    assert len(got) == 10
+    for r in got.itertuples():
+        ws = _words(texts, (r.conv_id, r.turn_idx))
+        assert w3 not in ws
+        assert w1 in ws or w2 in ws
+
+
+def test_phrase_matches_only_consecutive(spark, built):
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    q = pd.DataFrame({"query_id": [0], "query_text": [f'"{w1} {w2}"'],
+                      "k": [50]})
+    got = search_batch(spark, d, q, k=50).toPandas()
+    assert len(got) >= 1
+    phrase = f"{w1} {w2}"
+    for r in got.itertuples():
+        assert phrase in texts[(r.conv_id, r.turn_idx)]
+    # completeness: every doc containing the phrase is returned (k=50
+    # exceeds the phrase df in a 2000-turn corpus with this vocab)
+    expect = {key for key, txt in texts.items() if phrase in f" {txt} "}
+    if len(expect) <= 50:
+        got_keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+        assert expect <= got_keys
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    t = make_transcripts(200, seed=3)
+    d = str(tmp_path / "nopos")
+    build_index(spark, spark.createDataFrame(t), d,
+                IndexConfig(n_build_chunks=1), input_desc="nopos")
+    q = pd.DataFrame({"query_id": [0], "query_text": ['"alpha beta"'], "k": [5]})
+    with pytest.raises(ValueError, match="store_positions"):
+        search_batch(spark, d, q, k=5)
+
+
+def test_pure_negative_rejected(spark, built):
+    _, d, _ = built
+    q = pd.DataFrame({"query_id": [0], "query_text": ["NOT alpha"], "k": [5]})
+    with pytest.raises(ValueError, match="pure-negative"):
+        search_batch(spark, d, q, k=5)
+
+
+def test_searcher_routes_hot_terms_to_batch(spark, built):
+    t, d, _ = built
+    # a term in (almost) every doc blows a tiny driver budget
+    s_small = Searcher(spark, d, max_driver_postings=10)
+    common = t["text"].iloc[0].lower().split()[0]
+    out = s_small.search(common, k=5)
+    assert s_small.last_path == "batch" and len(out) == 5
+    # same query under the default budget stays on the WAND driver path
+    s_big = Searcher(spark, d)
+    out2 = s_big.search(common, k=5)
+    assert s_big.last_path == "wand"
+    assert out["conv_id"].tolist() == out2["conv_id"].tolist()
+    np.testing.assert_allclose(out["score"], out2["score"], rtol=1e-9)
+
+
+def test_update_index_survives_crashed_generation(spark, tmp_path):
+    import os
+
+    from sparkbm25.streaming import update_index
+
+    root = str(tmp_path / "gens")
+    t = make_transcripts(300, seed=5)
+    first, second = t.iloc[:150], t.iloc[150:]
+    update_index(spark, spark.createDataFrame(first), root,
+                 IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                             n_build_chunks=1))
+    # simulate a crashed generation: dir exists, no _COMPLETE marker
+    dead = os.path.join(root, "gen=1")
+    os.makedirs(os.path.join(dead, "segments"), exist_ok=True)
+    with open(os.path.join(dead, "stats.json"), "w") as f:
+        f.write('{"n_docs": 999, "avgdl": 1.0, "sum_dl": 999, "config": "{}"}')
+    # searches skip the dead generation instead of crashing
+    s = Searcher(spark, root)
+    assert s.n_docs == len(first)
+    # the next update wipes the corpse and appends cleanly
+    update_index(spark, spark.createDataFrame(second), root,
+                 IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                             n_build_chunks=1))
+    s2 = Searcher(spark, root)
+    assert s2.n_docs == len(t)
+    assert len(s2.search("alpha", k=5)) == 5

@@ -54,3 +54,16 @@ def test_cli_build_and_search_roundtrip(spark, tmp_path, capsys):
     assert stats["n_docs"] == 500
     rc = cli.main(["search", "--index", idx, "--query", "alpha", "-k", "3"])
     assert rc == 0
+
+
+def test_cli_dry_run_writes_nothing(spark, tmp_path, capsys):
+    import os
+
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(make_transcripts(300)).write.parquet(src)
+    idx = str(tmp_path / "idx2")
+    rc = cli.main(["build", "--input", src, "--index", idx, "--dry-run"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dry_run"] is True and out["n_docs"] == 300
+    assert not os.path.exists(idx)  # S6: nothing written

@@ -71,3 +71,37 @@ def test_batch_equals_per_group(group_sizes, block_size):
         s, e = offsets[i], offsets[i + 1]
         solo = encode_blocks(docs[s:e], tfs[s:e], dls[s:e], **kw)
         assert batch[i] == solo
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=8), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=16),
+)
+def test_positions_roundtrip(tfs_list, block_size):
+    """Positions blob round-trips exactly for any tf profile/block size:
+    posting i owns tfs[i] ascending within-doc positions."""
+    from sparkbm25.codec import decode_block_positions
+
+    rng = np.random.default_rng(1)
+    n = len(tfs_list)
+    tfs = np.asarray(tfs_list, dtype=np.int64)
+    docs = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+    dls = rng.integers(1, 500, n).astype(np.int64)
+    occ = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ[1:])
+    pos = np.concatenate([
+        np.sort(rng.choice(10_000, size=int(t), replace=False)) for t in tfs
+    ]).astype(np.int64)
+    blocks = encode_blocks_batch(
+        docs, tfs, dls, np.array([0, n], dtype=np.int64),
+        k1=1.2, b=0.75, avgdl=50.0, block_size=block_size,
+        positions=pos, occ_offsets=occ)[0]
+    got_pos, got_tfs = [], []
+    for blk in blocks:
+        _d, t, _l = decode_blocks([blk])
+        flat, _o = decode_block_positions(blk, t)
+        got_pos.append(flat)
+        got_tfs.append(t)
+    assert np.array_equal(np.concatenate(got_tfs), tfs)
+    assert np.array_equal(np.concatenate(got_pos), pos)

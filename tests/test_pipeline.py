@@ -43,7 +43,8 @@ def dirty_corpus(spark):
 
 def test_curate_stages(spark, dirty_corpus):
     survivors, stats = curate(spark, dirty_corpus, CurationConfig(
-        jaccard_threshold=0.8, min_quality=0.2, keep_langs=("en",)))
+        jaccard_threshold=0.8, min_quality=0.2, keep_langs=("en",),
+        stage_counts=True))
     assert stats["n_input"] == 47
     # 3 exact dups removed (keep one of the 4 identical texts)
     assert stats["n_after_exact"] == 44

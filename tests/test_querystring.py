@@ -21,9 +21,39 @@ def test_parser():
     assert p.text == "beta"
     p = parse_query_string("plain text only")
     assert not p.has_filters and p.text == "plain text only"
-    # unknown field stays a text term (not silently a filter)
+    # unknown field becomes text terms (not silently a filter)
     p = parse_query_string("status:published alpha")
-    assert not p.has_filters and p.text == "status:published alpha"
+    assert not p.has_filters and p.text == "status published alpha"
+
+
+def test_parser_boolean_grammar():
+    from sparkbm25.querystring import Not, Or, Phrase, Term, collect_leaves
+
+    p = parse_query_string("(spark OR join) AND NOT window")
+    assert p.explicit
+    pos, neg = collect_leaves(p.tree)
+    assert [t.text for t in pos] == ["spark", "join"]
+    assert [t.text for t in neg] == ["window"]
+
+    p = parse_query_string('"data scan" role:user')
+    assert p.filters == [("role", "user")]
+    pos, _ = collect_leaves(p.tree)
+    assert isinstance(pos[0], Phrase) and pos[0].terms == ["data", "scan"]
+
+    p = parse_query_string("NOT role:bot alpha")
+    assert p.neg_filters == [("role", "bot")] and p.text == "alpha"
+
+    # -term shorthand; legacy queries stay non-explicit
+    p = parse_query_string("a -b")
+    assert p.explicit
+    _, neg = collect_leaves(p.tree)
+    assert [t.text for t in neg] == ["b"]
+    assert not parse_query_string("role:en spark join").explicit
+
+    with pytest.raises(ValueError):
+        parse_query_string("(a OR role:en) b")  # nested filter rejected
+    with pytest.raises(ValueError):
+        parse_query_string("(a b")  # unbalanced
 
 
 @pytest.fixture(scope="module")

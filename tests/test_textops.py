@@ -78,6 +78,24 @@ def test_fingerprint_stability_and_sensitivity(spark, docs):
     assert out[0] != out[3]
 
 
+def test_lsh_bucket_cap_defuses_degenerate_bucket(spark):
+    """A degenerate bucket (many identical/boilerplate docs sharing a
+    signature) must NOT explode into B(B-1)/2 pairs: buckets above
+    max_bucket are dropped before pairing (VERDICT item 7)."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler) for i in range(300)]          # 300 identical docs
+    rows += [(1000 + i, f"unique doc {i} alpha beta gamma delta epsilon zeta eta")
+             for i in range(50)]
+    sdf = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(
+        rows, "doc_id bigint, text string")
+    pairs = textops.minhash_lsh_pairs(sdf, max_bucket=64)
+    # uncapped, the boilerplate bucket alone is 300*299/2 = 44850 pairs
+    assert pairs.count() < 5000
+    # with a cap large enough, the pairs come back
+    pairs_big = textops.minhash_lsh_pairs(sdf, max_bucket=1000)
+    assert pairs_big.count() >= 300 * 299 / 2
+
+
 def test_minhash_no_cartesian(spark):
     """LSH banding on dissimilar docs must not explode into ~n^2 pairs."""
     rng = np.random.default_rng(0)
