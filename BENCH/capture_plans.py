@@ -106,6 +106,38 @@ def main():
     sections.append(("Query-terms broadcast join (J5)", p))
     checks.append(("query join: BroadcastHashJoin", "BroadcastHashJoin" in p))
 
+    # 5. ANN top-k: TakeOrderedAndProject, NOT a single-partition window
+    #    (round-2 fix of the global-window scale bug)
+    from sparkbm25.ann import cosine_topk_bruteforce
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": range(100),
+            "embedding": [[float(i % 7), float(i % 3), 1.0] for i in range(100)],
+        }), schema="vec_id bigint, embedding array<double>")
+    ann = cosine_topk_bruteforce(emb, [1.0, 2.0, 3.0], k=10)
+    p = explain_str(ann)
+    sections.append(("ANN cosine top-k (orderBy+limit)", p))
+    checks.append(("ann top-k: TakeOrderedAndProject (no global sort exchange)",
+                   "TakeOrderedAndProject" in p))
+
+    # 6. lean build shuffle: the exchanged row carries ONLY
+    #    (term, doc_ord, dl[, pos]) — salt is a hash expression, bucket
+    #    recomputed post-shuffle; shuffle bytes are the build's
+    #    bandwidth ceiling
+    occ = df_tok.select(
+        "doc_ord", F.col("dl").cast("int").alias("dl"),
+        F.explode("tokens").alias("term"))
+    salt_expr = F.least(F.lit(7), F.floor(F.col("doc_ord") * 8 / 500)).cast("int")
+    lean = (occ.select("term", "doc_ord", "dl")
+            .repartition(32, F.col("term"), salt_expr)
+            .sortWithinPartitions("term", "doc_ord"))
+    p = explain_str(lean)
+    sections.append(("Lean build shuffle (term,doc_ord,dl only)", p))
+    checks.append(("lean shuffle: hash exchange present, no term_bucket/salt "
+                   "columns materialized",
+                   "hashpartitioning" in p and "term_bucket" not in p))
+
     out = ["# BENCH/PLANS — physical-plan evidence\n"]
     out.append("## Checks\n")
     for name, ok in checks:

@@ -73,6 +73,11 @@ def main():
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
+    if os.environ.get("SPARK_GRAFT_WRITE_MD", "0") != "1":
+        # BENCH/BASELINE.md is hand-maintained (it carries the
+        # bandwidth analysis); regenerate only on request
+        print(json.dumps(result))
+        return
 
     md = f"""# BENCH/BASELINE — measured numbers
 

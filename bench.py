@@ -144,7 +144,7 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
     qtimes["batch_all"] = round(time.time() - tb, 4)
 
     spark.stop()
-    return {
+    out = {
         "metric": "index_build_turns_per_sec",
         "value": round(turns_per_sec, 1),
         "unit": "turns/sec",
@@ -155,6 +155,19 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         "all_build_seconds": [round(t, 2) for t in build_times],
         "cpus": cpus,
     }
+    # surface the recorded N-vs-4N scaling evidence (BENCH/scaling_run.py,
+    # the north_rule two-cluster-size substitute) in the one-line JSON
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling"] = {
+            k: s[k] for k in s
+            if k.startswith("turns_per_sec_local")
+            or k in ("efficiency", "scaling_factor", "n_turns")
+        }
+    return out
 
 
 def main():

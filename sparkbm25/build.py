@@ -47,10 +47,12 @@ from pyspark.storagelevel import StorageLevel
 from sparkbm25 import catalog
 from sparkbm25.config import IndexConfig
 
-def segment_schema(with_pos: bool = False) -> str:
+def segment_schema(with_pos: bool = False, term_ids: bool = False) -> str:
     pos = ",pos:binary" if with_pos else ""
+    head = ("term_id bigint, salt int" if term_ids
+            else "term_bucket int, term string, salt int")
     return (
-        "term_bucket int, term string, salt int, n_docs bigint, "
+        f"{head}, n_docs bigint, "
         "blocks array<struct<first_doc:bigint,n:int,gaps:binary,tfs:binary,"
         f"dls:binary,max_impact:double{pos}>>"
     )
@@ -98,6 +100,14 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
         off = 0
         for pdf in batches:
             toks = tokenize_series(pdf["text"], pattern, maxlen)
+            # per-row error side-output (F5, es_translator.py:264-271
+            # logs-and-continues per doc and keeps the error record):
+            # poison rows are kept (they index as empty docs) and
+            # tagged, never dropped silently and never fatal.
+            err = pd.Series([None] * len(pdf), dtype=object)
+            if maxlen:
+                err[pdf["text"].fillna("").str.len() > maxlen] = "truncated"
+            err[pdf["text"].isna().to_numpy()] = "null_text"
             out = pd.DataFrame(
                 {
                     "pid": pdf["pid"].to_numpy(),
@@ -106,6 +116,7 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
                     "local_idx": np.arange(off, off + len(pdf), dtype=np.int64),
                     "tokens": toks.to_numpy(),
                     "dl": toks.str.len().to_numpy(dtype=np.int64),
+                    "err": err,
                     **{a: pdf[a].to_numpy() for a in attrs},
                 }
             )
@@ -116,7 +127,7 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     dfl = dfp.mapInPandas(
         local_idx_and_tokenize,
         schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
-               "tokens array<string>, dl bigint" + attr_ddl,
+               "tokens array<string>, dl bigint, err string" + attr_ddl,
     )
     # persist: the range partitioner samples; pin the partitioning so
     # the count job and downstream see identical placement.
@@ -220,7 +231,7 @@ def _make_segment_encoder(k1: float, b: float, avgdl: float, block_size: int):
 def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                          postings_acc=None, rows_acc=None,
                          aggregated: bool = True, with_pos: bool = False,
-                         lean: dict | None = None):
+                         lean: dict | None = None, term_ids: bool = False):
     """Streaming SPIMI-merge encoder: consumes Arrow batches of posting
     rows sorted by (term[, salt], doc_ord) within the partition, emits
     one segment row per (term, salt) group. A group may span batches —
@@ -246,12 +257,20 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
             'base': doc_ord_base, 'n': n_docs}."""
 
     def encode(batches):
+        import zlib
+
         import pyarrow as pa
         import pyarrow.compute as pc
 
         from sparkbm25.codec import encode_blocks_batch
 
         carry = None  # dict: term_pa (pa array) + numpy int arrays
+
+        def lean_salt(docs):
+            return np.minimum(
+                lean["ns"] - 1,
+                (docs - lean["base"]) * lean["ns"] // max(lean["n"], 1)
+            ).astype(np.int32)
 
         def emit(tb_arr, terms_pa, salts, docs, tfs, dls, group_offsets,
                  positions=None, occ_offsets=None):
@@ -262,6 +281,26 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
             if postings_acc is not None:
                 postings_acc.add(int(docs.size))
                 rows_acc.add(int(group_offsets.size - 1))
+            if term_ids:
+                # dictionary mode: emit the int id; the term string and
+                # its crc32 bucket are joined back in the JVM after
+                # encode (segment rows are tiny relative to postings)
+                return pa.RecordBatch.from_arrays(
+                    [
+                        terms_pa.cast(pa.int64()),
+                        pa.array(salts, type=pa.int32()),
+                        pa.array(np.diff(group_offsets), type=pa.int64()),
+                        pa.array(blocks, type=_block_pa_type(with_pos)),
+                    ],
+                    names=["term_id", "salt", "n_docs", "blocks"],
+                )
+            if tb_arr is None:
+                # lean mode: crc32 bucket per GROUP start (identical to
+                # term_bucket_col's JVM crc32 — verified byte-equal)
+                nb = lean["nb"]
+                tb_arr = np.fromiter(
+                    (zlib.crc32(t.encode()) % nb for t in terms_pa.to_pylist()),
+                    dtype=np.int32, count=len(terms_pa))
             return pa.RecordBatch.from_arrays(
                 [
                     pa.array(tb_arr, type=pa.int32()),
@@ -276,15 +315,20 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            # term strings stay in Arrow (C++) end to end — no Python
-            # str materialization per posting (memory-traffic hot spot)
-            term_pa = rb.column(rb.schema.get_field_index("term"))
-            tb = rb.column(rb.schema.get_field_index("term_bucket")).to_numpy(
-                zero_copy_only=False)
-            salt = rb.column(rb.schema.get_field_index("salt")).to_numpy(
-                zero_copy_only=False)
+            # term strings/ids stay in Arrow (C++) end to end — no
+            # Python materialization per posting (memory-traffic hot spot)
+            term_pa = rb.column(rb.schema.get_field_index(
+                "term_id" if term_ids else "term"))
             docs = rb.column(rb.schema.get_field_index("doc_ord")).to_numpy(
                 zero_copy_only=False)
+            if lean is not None:
+                tb = None
+                salt = lean_salt(docs)
+            else:
+                tb = rb.column(rb.schema.get_field_index("term_bucket")).to_numpy(
+                    zero_copy_only=False)
+                salt = rb.column(rb.schema.get_field_index("salt")).to_numpy(
+                    zero_copy_only=False)
             if aggregated:
                 tfs = rb.column(rb.schema.get_field_index("tf")).to_numpy(
                     zero_copy_only=False)
@@ -298,7 +342,8 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
             if carry is not None:
                 term_pa = pa.concat_arrays(
                     [carry["term_pa"].cast(term_pa.type), term_pa])
-                tb = np.concatenate([carry["tb"], tb])
+                if tb is not None:
+                    tb = np.concatenate([carry["tb"], tb])
                 salt = np.concatenate([carry["salt"], salt])
                 docs = np.concatenate([carry["docs"], docs])
                 tfs = np.concatenate([carry["tfs"], tfs])
@@ -307,7 +352,7 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                     pos = np.concatenate([carry["pos"], pos])
                 carry = None
 
-            n = len(tb)
+            n = docs.size
             # group starts: term or salt changes; adjacent-inequality
             # computed in Arrow C++
             change = np.empty(n, dtype=bool)
@@ -325,7 +370,8 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
 
             last_start = int(starts[-1])
             carry = {
-                "term_pa": term_pa.slice(last_start), "tb": tb[last_start:],
+                "term_pa": term_pa.slice(last_start),
+                "tb": None if tb is None else tb[last_start:],
                 "salt": salt[last_start:], "docs": docs[last_start:],
                 "tfs": tfs[last_start:], "dls": dls[last_start:],
                 "pos": pos[last_start:] if with_pos else None,
@@ -341,13 +387,13 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                     change, docs, dls, last_start, go,
                     pos if with_pos else None)
             yield emit(
-                tb[starts[:-1]],
+                None if tb is None else tb[starts[:-1]],
                 term_pa.take(pa.array(starts[:-1], type=pa.int64())),
                 salt[starts[:-1]],
                 *region, **kw,
             )
 
-        if carry is not None and len(carry["tb"]):
+        if carry is not None and carry["docs"].size:
             docs = carry["docs"]
             L = docs.size
             go = np.array([0, L], dtype=np.int64)
@@ -360,7 +406,8 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
                 region, kw = _occurrences_to_runs(
                     cmask, docs, carry["dls"], L, go, carry["pos"])
             yield emit(
-                carry["tb"][:1], carry["term_pa"].slice(0, 1), carry["salt"][:1],
+                None if carry["tb"] is None else carry["tb"][:1],
+                carry["term_pa"].slice(0, 1), carry["salt"][:1],
                 *region, **kw,
             )
 
@@ -444,7 +491,8 @@ def build_index(
         catalog_docs = catalog.staging_dir(index_dir, "docs")
         attr_cols = [c for c in ("role", "tool") if c in df_tok.columns]
         (
-            df_tok.select("doc_ord", "conv_id", "turn_idx", "dl", *attr_cols)
+            df_tok.select("doc_ord", "conv_id", "turn_idx", "dl", "err",
+                          *attr_cols)
             .write.mode("overwrite").parquet(catalog_docs)
         )
         catalog.commit_staging(index_dir, "docs", catalog.docs_dir(index_dir))
@@ -466,20 +514,21 @@ def build_index(
                     "store_positions rides the raw occurrence stream: "
                     "use IndexConfig(encoder='stream', checkpoint_runs=False)")
             occurrences = df_tok.select(
-                "doc_ord", "dl", F.posexplode("tokens").alias("pos", "term"))
+                "doc_ord", F.col("dl").cast("int").alias("dl"),
+                F.posexplode("tokens").alias("pos", "term"))
+            occurrences = occurrences.withColumn("pos", F.col("pos").cast("int"))
         else:
             occurrences = df_tok.select(
-                "doc_ord", "dl", F.explode("tokens").alias("term"))
-        occurrences = (
-            occurrences
-            .withColumn("term_bucket", term_bucket_col(F.col("term"), nb))
-            .withColumn("salt", salt_col)
-        )
+                "doc_ord", F.col("dl").cast("int").alias("dl"),
+                F.explode("tokens").alias("term"))
         if config.checkpoint_runs:
             # the on-disk SPIMI runs are pre-aggregated (compact) —
             # this is the resumable configuration
             tf = (
-                occurrences.groupBy("term_bucket", "term", "salt", "doc_ord")
+                occurrences
+                .withColumn("term_bucket", term_bucket_col(F.col("term"), nb))
+                .withColumn("salt", salt_col)
+                .groupBy("term_bucket", "term", "salt", "doc_ord")
                 .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
             )
             tf_staging = catalog.staging_dir(index_dir, "tf")
@@ -490,13 +539,21 @@ def build_index(
             catalog.commit_staging(index_dir, "tf", catalog.tf_dir(index_dir))
             df_tok._sparkbm25_cached.unpersist()
         elif config.encoder == "stream":
-            # direct path: raw occurrences flow into the shuffle-sort
-            # encoder, which counts tf as run-lengths — the
-            # groupBy(term, doc) hash-agg shuffle disappears entirely
+            # direct LEAN path: raw (term, doc_ord, dl[, pos]) rows flow
+            # into the shuffle-sort encoder, which counts tf as
+            # run-lengths AND recomputes salt/term_bucket post-shuffle —
+            # the groupBy(term, doc) hash-agg shuffle disappears
+            # entirely and the shuffled rows carry no derivable columns
+            # (shuffle bytes are the build's memory-bandwidth ceiling)
             tf_df = occurrences
         else:
-            tf_df = occurrences.groupBy("term_bucket", "term", "salt", "doc_ord").agg(
-                F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            tf_df = (
+                occurrences
+                .withColumn("term_bucket", term_bucket_col(F.col("term"), nb))
+                .withColumn("salt", salt_col)
+                .groupBy("term_bucket", "term", "salt", "doc_ord")
+                .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            )
 
         catalog.write_stats(
             index_dir,
@@ -536,22 +593,79 @@ def build_index(
             aggregated = "tf" in tf_chunk.columns
             with_pos = config.store_positions and not aggregated
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            cols = (["term_bucket", "term", "salt", "doc_ord", "dl"]
-                    + (["tf"] if aggregated else [])
-                    + (["pos"] if with_pos else []))
-            sort_cols = ["term", "salt", "doc_ord"] + (
-                ["pos"] if with_pos else [])
-            sorted_tf = (
-                tf_chunk.repartition(n_shuffle, "term", "salt")
-                .sortWithinPartitions(*sort_cols)
-                .select(*cols)
-            )
+            vdf = None
+            if aggregated:
+                cols = ["term_bucket", "term", "salt", "doc_ord", "dl", "tf"]
+                sorted_tf = (
+                    tf_chunk.repartition(n_shuffle, "term", "salt")
+                    .sortWithinPartitions("term", "salt", "doc_ord")
+                    .select(*cols)
+                )
+                lean = None
+            else:
+                # LEAN shuffle: rows carry only (term, doc_ord, dl[,pos]).
+                # The (term, salt) partition key is hashed from an
+                # EXPRESSION (salt recomputed from doc_ord) so salt never
+                # materializes into the shuffled bytes; within a
+                # partition, salt is monotone in doc_ord for a fixed
+                # term, so sorting by (term, doc_ord[, pos]) already
+                # clusters (term, salt) groups.
+                ns2 = config.n_salt_buckets
+                salt_expr = F.least(
+                    F.lit(ns2 - 1),
+                    F.floor((F.col("doc_ord") - F.lit(doc_ord_base)) * ns2
+                            / F.lit(max(n_docs, 1))),
+                ).cast("int")
+                lean = {"nb": config.n_term_buckets, "ns": ns2,
+                        "base": doc_ord_base, "n": n_docs}
+                # dictionary encoding: replace the term string with an
+                # int64 id via a broadcast vocab join, when the vocab
+                # fits the bound — the dominant shuffle-sort then
+                # compares 8-byte ints, not strings
+                vdf = None
+                if config.dict_terms == "auto":
+                    cap = config.dict_max_vocab
+                    vocab_pdf = (
+                        tf_chunk.select("term").distinct().limit(cap + 1)
+                        .toPandas())
+                    if len(vocab_pdf) <= cap:
+                        vocab_pdf = vocab_pdf.sort_values("term").reset_index(
+                            drop=True)
+                        vocab_pdf["term_id"] = np.arange(
+                            len(vocab_pdf), dtype=np.int64)
+                        vdf = spark.createDataFrame(
+                            vocab_pdf, schema="term string, term_id bigint")
+                term_col = "term_id" if vdf is not None else "term"
+                cols = [term_col, "doc_ord", "dl"] + (["pos"] if with_pos else [])
+                src = (tf_chunk.join(F.broadcast(vdf), "term")
+                       if vdf is not None else tf_chunk)
+                sorted_tf = (
+                    src.select(*cols)
+                    .repartition(n_shuffle, F.col(term_col), salt_expr)
+                    .sortWithinPartitions(term_col, "doc_ord",
+                                          *(["pos"] if with_pos else []))
+                )
             stream_enc = _make_stream_encoder(k1, b, float(avgdl), bs,
                                               postings_acc, rows_acc,
                                               aggregated=aggregated,
-                                              with_pos=with_pos)
-            seg = sorted_tf.mapInArrow(stream_enc,
-                                       schema=segment_schema(with_pos))
+                                              with_pos=with_pos,
+                                              lean=lean,
+                                              term_ids=(not aggregated
+                                                        and vdf is not None))
+            seg = sorted_tf.mapInArrow(
+                stream_enc,
+                schema=segment_schema(with_pos,
+                                      term_ids=(not aggregated
+                                                and vdf is not None)))
+            if not aggregated and vdf is not None:
+                # join the strings back onto the (tiny) segment rows and
+                # restore the bucket column in the JVM
+                seg = (
+                    seg.join(F.broadcast(vdf), "term_id").drop("term_id")
+                    .withColumn("term_bucket",
+                                term_bucket_col(F.col("term"),
+                                                config.n_term_buckets))
+                )
         else:
             grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(
                 F.sort_array(

@@ -63,3 +63,24 @@ def eta_seconds(total_turns: int, done_turns: int, avg_rate: float) -> float:
     if avg_rate <= 0:
         return float("inf")
     return max(total_turns - done_turns, 0) / avg_rate
+
+
+def build_errors(spark, index_dir: str):
+    """Per-row error side-output of the build (F5): rows the tokenizer
+    tagged instead of dropping (null text, truncation). The analog of
+    the reference's log-and-continue error record per doc
+    (es_translator/es_translator.py:264-271). Returns a DataFrame
+    (conv_id, turn_idx, err) of the poison rows only."""
+    from pyspark.sql import functions as F
+
+    from sparkbm25 import catalog
+
+    docs = spark.read.parquet(*catalog.docs_paths(index_dir))
+    if "err" not in docs.columns:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, err string")
+    return (
+        docs.where(F.col("err").isNotNull())
+        .select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+                "err")
+    )

@@ -800,6 +800,46 @@ def q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+_ERR_CACHE: dict[str, str] = {}
+
+
+def q_error_sideout(spark, sf_dir):
+    """Per-row error side-output (F5): poison rows (null text injected
+    for doc_id % 7 == 0) are indexed as empty docs AND tagged in the
+    forward table's err column — log-and-continue, never row loss
+    (es_translator/es_translator.py:264-271)."""
+    from sparkbm25.build import build_index
+    from sparkbm25.config import IndexConfig
+    from sparkbm25.metrics import build_errors
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ERR_CACHE:
+        import shutil
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "sparkbm25_err_" + key.strip("/").replace("/", "_"))
+        shutil.rmtree(idx, ignore_errors=True)
+        t = docs_as_transcripts(spark, sf_dir).where(
+            F.col("conv_id").cast("bigint") < 300)
+        t = t.withColumn(
+            "text",
+            F.when(F.col("conv_id").cast("bigint") % 7 == 0,
+                   F.lit(None).cast("string")).otherwise(F.col("text")))
+        cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
+        build_index(spark, t, idx, cfg, input_desc=key + ":err")
+        _ERR_CACHE[key] = idx
+    out = build_errors(spark, _ERR_CACHE[key])
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"), "err")
+
+
+SQL_ERROR_SIDEOUT = """
+SELECT doc_id, 'null_text' AS err
+FROM documents WHERE doc_id < 300 AND doc_id % 7 = 0
+"""
+
+
 _ANNOT_CACHE: dict[str, str] = {}
 
 
@@ -1453,6 +1493,7 @@ QUERIES = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "curate_exact_dedup": (q_curate_exact_dedup_count, SQL_CURATE_EXACT),
     "annotate_readback": (q_annotate_readback, SQL_ANNOTATE_READBACK),
+    "error_sideout": (q_error_sideout, SQL_ERROR_SIDEOUT),
     "windowed_rate": (q_windowed_rate, SQL_WINDOWED_RATE),
     "sliding_avg": (q_sliding_avg, SQL_SLIDING_AVG),
     "worker_throughput": (q_worker_throughput, SQL_WORKER_THROUGHPUT),

@@ -98,3 +98,16 @@ def test_text_equality_invariant(spark, corpus, built):
     natural = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     assert natural["doc_ord"].is_monotonic_increasing
     assert pdf["doc_ord"].tolist() == list(range(len(pdf)))
+
+
+def test_dict_encoded_build_parity(spark, corpus, queries, tmp_path):
+    """dict_terms='auto' (int64-id shuffle + post-encode string join)
+    must produce an index that answers identically."""
+    d = str(tmp_path / "dictidx")
+    build_index(spark, spark.createDataFrame(corpus), d,
+                IndexConfig(dict_terms="auto", checkpoint_runs=False,
+                            n_build_chunks=1),
+                input_desc="dict4k")
+    exp = bm25_reference_topk(corpus, queries, k=10, mode="or")
+    got = search_batch(spark, d, queries, k=10, mode="or").toPandas()
+    _assert_parity(got, exp)
