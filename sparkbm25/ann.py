@@ -177,6 +177,51 @@ def cosine_topk_lsh(
 # ---------------------------------------------------------------------------
 
 
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    max_bucket: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    join (vectors this similar agree on every sign bit with high
+    probability) then exact cosine verify at `threshold`. Never a
+    cartesian: candidates come from equal-bucket joins, and buckets
+    above max_bucket are dropped (degenerate-cluster guard, same
+    rationale as textops.minhash_lsh_pairs). Returns
+    (id1, id2, cos_micro).
+
+    Recall note: a pair at cosine c collides in one n_planes-bit bucket
+    with probability (1 - arccos(c)/pi)^n_planes — at c=0.95, 8 planes
+    ≈ 0.75; run with two plane seeds or fewer planes for higher recall
+    (the oracle checks the single-band contract exactly)."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"id1 bigint, id2 bigint, cos_micro bigint")
+    planes = hash_planes(n_planes, len(first[0]))
+    b = hyperplane_buckets(emb, planes, id_col, vec_col)
+    ok = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+          .where(F.col("_n") <= max_bucket).select("bucket"))
+    b = b.join(ok, "bucket", "left_semi")
+    left = b.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                    "bucket")
+    right = b.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                     "bucket")
+    pairs = left.join(right, "bucket").where(F.col("id1") < F.col("id2"))
+    cos = (
+        _dot(F.col("v1"), F.col("v2"))
+        / (F.sqrt(_dot(F.col("v1"), F.col("v1")))
+           * F.sqrt(_dot(F.col("v2"), F.col("v2"))))
+    )
+    return (
+        pairs.select("id1", "id2", _micro(cos).alias("cos_micro"))
+        .where(F.col("cos_micro") >= int(round(threshold * MICRO)))
+    )
+
+
 def _sqdist(vec_col, cent: list[float]) -> F.Column:
     return F.aggregate(
         F.zip_with(vec_col, _lit_vec(cent), lambda a, b: (a - b) * (a - b)),

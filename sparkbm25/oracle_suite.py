@@ -902,10 +902,10 @@ ANN_PROBE_HAMMING = 2
 ANN_K = 20
 
 
-def _plane_sql_rows() -> str:
+def _plane_sql_rows(n_planes: int = ANN_PLANES) -> str:
     from sparkbm25.ann import hash_planes
 
-    planes = hash_planes(ANN_PLANES, ANN_DIM)
+    planes = hash_planes(n_planes, ANN_DIM)
     rows = ",\n    ".join(
         f"({p}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
         for p, w in enumerate(planes))
@@ -962,6 +962,55 @@ def q_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb.where(F.col("vec_id") != 0),
                            [float(x) for x in qv], k=ANN_K,
                            n_planes=ANN_PLANES, probe_hamming=ANN_PROBE_HAMMING)
+
+
+DUP_PLANES = 4
+DUP_THRESHOLD = 0.35
+
+
+def q_emb_cosine_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH equal-bucket candidates
+    (4 md5-derived hyperplanes) + exact cosine verify at 0.35 — the
+    embedding-space member of the dedup family. The SQL oracle
+    replicates the bucket computation exactly (same plane literals)."""
+    from sparkbm25.ann import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=DUP_THRESHOLD,
+                            n_planes=DUP_PLANES)
+
+
+def _emb_dup_sql() -> str:
+    return f"""
+WITH p(pid, w) AS (
+  VALUES
+    {_plane_sql_rows(DUP_PLANES)}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN floor(list_dot_product(e.v, p.w) * 1000000.0 + 0.5) > 0
+                       THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN p GROUP BY e.vec_id
+),
+ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1024),
+b2 AS (SELECT b.* FROM b JOIN ok USING (bucket)),
+cand AS (
+  SELECT x.vec_id AS id1, y.vec_id AS id2
+  FROM b2 x JOIN b2 y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+sc AS (
+  SELECT id1, id2,
+         CAST(floor(list_dot_product(ex.v, ey.v)
+              / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v)))
+              * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+  FROM cand JOIN e ex ON ex.vec_id = id1 JOIN e ey ON ey.vec_id = id2
+)
+SELECT id1, id2, cos_micro FROM sc
+WHERE cos_micro >= {int(round(DUP_THRESHOLD * 1_000_000))}
+"""
+
+
+SQL_EMB_COSINE_DUP = _emb_dup_sql()
 
 
 ANN_IVF_CENTROIDS = 8
@@ -1490,6 +1539,7 @@ QUERIES = {
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
+    "emb_cosine_dup": (q_emb_cosine_dup, SQL_EMB_COSINE_DUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "curate_exact_dedup": (q_curate_exact_dedup_count, SQL_CURATE_EXACT),
     "annotate_readback": (q_annotate_readback, SQL_ANNOTATE_READBACK),

@@ -123,3 +123,29 @@ def test_update_index_survives_crashed_generation(spark, tmp_path):
     s2 = Searcher(spark, root)
     assert s2.n_docs == len(t)
     assert len(s2.search("alpha", k=5)) == 5
+
+
+def test_phrase_across_generations(spark, tmp_path):
+    """Positions survive the incremental-generation merge: a phrase
+    query over a two-generation index finds matches in BOTH halves."""
+    from sparkbm25.streaming import update_index
+
+    root = str(tmp_path / "posgens")
+    t = make_transcripts(600, seed=11)
+    cfg = IndexConfig(store_positions=True, checkpoint_runs=False,
+                      n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
+    update_index(spark, spark.createDataFrame(t.iloc[:300]), root, cfg)
+    update_index(spark, spark.createDataFrame(t.iloc[300:]), root, cfg)
+    toks0 = t["text"].iloc[0].lower().split()
+    w1, w2 = toks0[2], toks0[3]
+    phrase = f"{w1} {w2}"
+    q = pd.DataFrame({"query_id": [0], "query_text": [f'"{phrase}"'], "k": [100]})
+    got = search_batch(spark, root, q, k=100).toPandas()
+    texts = {(r.conv_id, r.turn_idx): r.text.lower() for r in t.itertuples(index=False)}
+    assert len(got) >= 1
+    halves = set()
+    for r in got.itertuples():
+        assert phrase in texts[(r.conv_id, r.turn_idx)]
+        halves.add(r.conv_id < t["conv_id"].iloc[300])
+    expect = {key for key, txt in texts.items() if phrase in txt}
+    assert {(r.conv_id, r.turn_idx) for r in got.itertuples()} == expect
