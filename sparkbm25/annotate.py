@@ -46,8 +46,17 @@ def annotate_docs(
 ) -> int:
     """Append {name, value} to the `annotations` array of every doc
     matched by `updates` (conv_id, turn_idx, <value_col>). Returns the
-    number of rows annotated. Unmatched docs keep their annotations
-    (or gain an empty array on first annotate)."""
+    number of rows annotated. Unmatched docs keep their annotations.
+
+    Partial by construction: the forward table is partitioned by
+    doc_block (doc_ord range), so only the blocks that actually contain
+    matched keys are rewritten — the untouched partitions' files are
+    never read back or re-written (the parquet equivalent of Iceberg's
+    MERGE INTO touching only matching data files). Each rewritten block
+    commits via an atomic per-partition staging rename."""
+    import os
+    import shutil
+
     upd = updates.select(
         F.col("conv_id").cast("string").alias("_u_conv_id"),
         F.col("turn_idx").cast("int").alias("_u_turn_idx"),
@@ -60,14 +69,28 @@ def annotate_docs(
         if "annotations" not in docs.columns:
             docs = docs.withColumn(
                 "annotations", F.lit(None).cast(ANNOTATION_TYPE))
-        joined = docs.join(
+        # locate the affected doc_blocks (one pruned-column scan: only
+        # the join keys + partition column are read)
+        affected = sorted(
+            r["doc_block"] for r in (
+                docs.select("conv_id", "turn_idx", "doc_block")
+                .join(F.broadcast(upd.select("_u_conv_id", "_u_turn_idx")),
+                      (F.col("conv_id") == F.col("_u_conv_id"))
+                      & (F.col("turn_idx") == F.col("_u_turn_idx")),
+                      "left_semi")
+                .select("doc_block").distinct().collect()
+            ))
+        if not affected:
+            continue
+        sub = docs.where(F.col("doc_block").isin(affected))
+        joined = sub.join(
             upd,
-            (docs["conv_id"] == upd["_u_conv_id"])
-            & (docs["turn_idx"] == upd["_u_turn_idx"]),
+            (sub["conv_id"] == upd["_u_conv_id"])
+            & (sub["turn_idx"] == upd["_u_turn_idx"]),
             "left",
         )
         base = F.coalesce(F.col("annotations"),
-                          F.lit([]).cast(ANNOTATION_TYPE))
+                          F.array().cast(ANNOTATION_TYPE))
         merged = joined.select(
             *[c for c in docs.columns if c != "annotations"],
             F.when(
@@ -79,21 +102,27 @@ def annotate_docs(
             ).otherwise(base).alias("annotations"),
         )
         staging = catalog.staging_dir(gen, "docs_annotate")
-        merged.write.mode("overwrite").parquet(staging)
-        # count matched rows from the committed data (no extra lineage
-        # recompute: the write materialized it)
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("doc_block").parquet(staging)
         committed = spark.read.parquet(staging)
         n_updated += (
             committed.where(F.exists(
                 "annotations", lambda a: a["name"] == F.lit(name)))
             .count())
-        catalog.commit_staging(gen, "docs_annotate", docs_path)
+        # atomic per-partition swap: only the affected block dirs move
+        for blk in affected:
+            src = os.path.join(staging, f"doc_block={blk}")
+            dst = os.path.join(docs_path, f"doc_block={blk}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
     return n_updated
 
 
 def read_annotations(spark: SparkSession, index_dir: str) -> DataFrame:
     """(conv_id, turn_idx, name, value) — the exploded nested array."""
-    docs = spark.read.parquet(*catalog.docs_paths(index_dir))
+    docs = catalog.read_docs(spark, index_dir)
     if "annotations" not in docs.columns:
         return spark.createDataFrame(
             [], "conv_id string, turn_idx int, name string, value string")

@@ -490,10 +490,24 @@ def build_index(
         # top-k id resolution and the text-equality invariant check.
         catalog_docs = catalog.staging_dir(index_dir, "docs")
         attr_cols = [c for c in ("role", "tool") if c in df_tok.columns]
+        from sparkbm25.annotate import ANNOTATION_TYPE
+
         (
             df_tok.select("doc_ord", "conv_id", "turn_idx", "dl", "err",
                           *attr_cols)
-            .write.mode("overwrite").parquet(catalog_docs)
+            # uniform annotations schema from day one, so a partial
+            # annotate (rewriting only affected doc_blocks) never mixes
+            # schemas across partition dirs
+            .withColumn("annotations", F.lit(None).cast(ANNOTATION_TYPE))
+            # doc_ord-range directory partitioning: point resolves prune
+            # to the requested blocks; annotate rewrites only affected
+            # blocks. Input partitions are doc_ord-contiguous (range
+            # shuffle), so each task touches ~1 block — no file blowup.
+            .withColumn("doc_block",
+                        F.floor(F.col("doc_ord") / config.doc_block_size)
+                        .cast("bigint"))
+            .write.mode("overwrite").partitionBy("doc_block")
+            .parquet(catalog_docs)
         )
         catalog.commit_staging(index_dir, "docs", catalog.docs_dir(index_dir))
 

@@ -174,6 +174,19 @@ def docs_paths(index_root: str) -> list[str]:
     return [docs_dir(g) for g in generation_dirs(index_root)]
 
 
+def read_docs(spark, index_root: str):
+    """Union the forward tables of all generations. Each generation's
+    docs dir is its own doc_block-partitioned parquet root, so a single
+    multi-path read would see conflicting partition structures (same
+    reason search._read_segments unions segment roots)."""
+    paths = docs_paths(index_root)
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d.select(out.columns))
+    return out
+
+
 def global_stats(index_root: str) -> dict:
     """Corpus stats summed across generations; per-gen stats (avgdl at
     encode time) kept for WAND upper-bound correction."""

@@ -52,6 +52,12 @@ class IndexConfig:
     # Partitions for the doc_ord assignment range-shuffle; 0 = let
     # Spark/AQE decide (defaultParallelism).
     n_doc_partitions: int = 0
+    # The forward (docs) table is directory-partitioned by
+    # doc_block = doc_ord // doc_block_size: point resolves prune to
+    # the blocks holding the requested doc_ords, and partial updates
+    # (annotate) rewrite ONLY the affected blocks. 2^24 docs/block →
+    # ~60k partitions at 1e12 docs.
+    doc_block_size: int = 1 << 24
     # Write the stage-1 (term,doc,tf,dl) runs to disk as the SPIMI
     # checkpoint (resume granularity = segment chunk). False = stream
     # runs straight into the segment build (single chunk, faster, but

@@ -75,7 +75,7 @@ def build_errors(spark, index_dir: str):
 
     from sparkbm25 import catalog
 
-    docs = spark.read.parquet(*catalog.docs_paths(index_dir))
+    docs = catalog.read_docs(spark, index_dir)
     if "err" not in docs.columns:
         return spark.createDataFrame(
             [], "conv_id string, turn_idx int, err string")

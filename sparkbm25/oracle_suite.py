@@ -1155,6 +1155,50 @@ FROM documents WHERE doc_id < 200
 # monitor/metrics aggregations over events (SURVEY §2.5 A2-A6, §2.9 T3)
 # ---------------------------------------------------------------------------
 
+def q_session_windows(spark, sf_dir):
+    """Stateful sessionization (the custom-stateful-operator shape of
+    Structured Streaming, batch semantics here): per-user sessions with
+    a 60 s inactivity gap via F.session_window. The SQL oracle is the
+    classic gaps-and-islands rewrite — lag + cumulative gap counter —
+    proving the session assignment exactly."""
+    ev = _events(spark, sf_dir).withColumn(
+        "uid", (F.col("user_id") % 50).cast("int"))
+    return (
+        ev.groupBy("uid", F.session_window("ts", "60 seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _micro(F.sum("value")).alias("value_micro"))
+        .select(
+            "uid",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            "n_events", "value_micro",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH ev AS (
+  SELECT CAST(user_id % 50 AS INT) AS uid, ts, value FROM events
+),
+marked AS (
+  SELECT uid, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 60 OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY uid ORDER BY ts)
+),
+sess AS (
+  SELECT uid, ts, value,
+         sum(new_session) OVER (PARTITION BY uid ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT uid,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+FROM sess GROUP BY uid, sid
+"""
+
 def q_windowed_rate(spark, sf_dir):
     # A3/T3: tasks-per-2s tumbling window (monitor.py:205-216 rate)
     ev = _events(spark, sf_dir)
@@ -1545,6 +1589,7 @@ QUERIES = {
     "annotate_readback": (q_annotate_readback, SQL_ANNOTATE_READBACK),
     "error_sideout": (q_error_sideout, SQL_ERROR_SIDEOUT),
     "windowed_rate": (q_windowed_rate, SQL_WINDOWED_RATE),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "sliding_avg": (q_sliding_avg, SQL_SLIDING_AVG),
     "worker_throughput": (q_worker_throughput, SQL_WORKER_THROUGHPUT),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),

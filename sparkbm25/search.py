@@ -216,7 +216,7 @@ def search_batch(
     if fonly:
         from sparkbm25.querystring import filter_condition
 
-        docs_df = spark.read.parquet(*catalog.docs_paths(index_dir))
+        docs_df = catalog.read_docs(spark, index_dir)
         for p in fonly:
             part = (
                 docs_df.where(filter_condition(p.filters, p.neg_filters))
@@ -372,7 +372,7 @@ def search_batch(
         # parquet scan; BM25 stats stay index-wide (ES semantics)
         from sparkbm25.querystring import filter_condition
 
-        docs_df = spark.read.parquet(*catalog.docs_paths(index_dir))
+        docs_df = catalog.read_docs(spark, index_dir)
         missing = {fld for fl, nfl in qfilters.values()
                    for fld, _ in list(fl) + list(nfl)
                    if fld not in docs_df.columns}
@@ -432,8 +432,12 @@ def search_batch(
     if topk_pdf.empty:
         return fonly_df if fonly_df is not None else empty
     ords = sorted(topk_pdf["doc_ord"].unique().tolist())
+    # doc_block partition pruning + doc_ord rowgroup pushdown: the
+    # resolve touches only the partition dirs holding the top-k ords
+    blocks = sorted({o // cfg.doc_block_size for o in ords})
     docs = (
-        spark.read.parquet(*catalog.docs_paths(index_dir))
+        catalog.read_docs(spark, index_dir)
+        .where(F.col("doc_block").isin(blocks))
         .where(F.col("doc_ord").isin(ords))
         .select("doc_ord", "conv_id", "turn_idx")
     )
@@ -689,8 +693,10 @@ class Searcher:
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         results.sort(key=lambda x: (-x[0], x[1]))
         ords = [d for _, d in results]
+        blocks = sorted({d // self.cfg.doc_block_size for d in ords})
         docs = (
-            self.spark.read.parquet(*catalog.docs_paths(self.index_dir))
+            catalog.read_docs(self.spark, self.index_dir)
+            .where(F.col("doc_block").isin(blocks))
             .where(F.col("doc_ord").isin(ords))
             .select("doc_ord", "conv_id", "turn_idx").toPandas()
             .set_index("doc_ord")

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkbm25 import catalog
 from sparkbm25.build import BuildResult, build_index
@@ -72,6 +72,108 @@ def update_index(
         spark, new_transcripts, gen_dir, config,
         input_desc=input_desc or f"gen{gen_id}",
         doc_ord_base=base,
+    )
+
+
+def stream_metrics(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    window_seconds: int = 2,
+    watermark: str = "1 minute",
+    available_now: bool = True,
+):
+    """Streaming monitor (T3/A3 as a real stream): readStream over the
+    events table -> event-time watermark -> tumbling-window counts per
+    event_type -> append-mode parquet sink. The watermark bounds state:
+    windows older than max(event time) - watermark are finalized and
+    dropped from state, so late rows inside the watermark still count
+    and state never grows unboundedly (the streaming analog of the
+    reference's monitor refresh loop, es_translator/monitor.py:205-216).
+    Returns the StreamingQuery."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    # event-time watermarks need TIMESTAMP (with zone); NTZ inputs cast
+    # losslessly under the engine's fixed UTC session timezone
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{window_seconds} seconds").alias("win"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("value_sum"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n",
+                "value_sum")
+    )
+    writer = (
+        agg.writeStream.outputMode("append").format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def worker_progress_stream(
+    spark: SparkSession,
+    events_path: str,
+    n_workers: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-worker running progress (processed count, elapsed, rate) that
+    survives across micro-batches — the streaming analog of the
+    reference monitor's per-worker Δprocessed ÷ elapsed
+    (es_translator/monitor.py:172-178). State per key is three scalars
+    (count, first_ts, last_ts); each micro-batch folds its rows into
+    the state and emits the updated running row, so the operator's
+    memory is O(workers), never O(events).
+
+    Returns the (unstarted) streaming DataFrame:
+    (worker, n_processed, elapsed_s, rate). Attach a sink with
+    outputMode('update')."""
+    import pandas as pd
+
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("worker", (F.col("user_id") % n_workers).cast("int"))
+        .withColumn("ts_s", F.unix_micros("ts") / 1e6)
+    )
+
+    def update(key, pdfs, state):
+        n, t0, t1 = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            lo, hi = float(pdf["ts_s"].min()), float(pdf["ts_s"].max())
+            t0 = lo if t0 is None else min(t0, lo)
+            t1 = hi if t1 is None else max(t1, hi)
+        state.update((n, t0, t1))
+        elapsed = (t1 - t0) if (t0 is not None and t1 is not None) else 0.0
+        yield pd.DataFrame({
+            "worker": [int(key[0])],
+            "n_processed": [int(n)],
+            "elapsed_s": [float(elapsed)],
+            "rate": [n / elapsed if elapsed > 0 else float(n)],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("worker").applyInPandasWithState(
+        update,
+        outputStructType="worker int, n_processed bigint, elapsed_s double, "
+                         "rate double",
+        stateStructType="n bigint, t0 double, t1 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

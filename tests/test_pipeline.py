@@ -71,3 +71,45 @@ def test_curate_and_index_searchable(spark, dirty_corpus, tmp_path):
     s = Searcher(spark, str(tmp_path / "cidx"))
     hits = s.search("quick fox", k=5)
     assert len(hits) == 5
+
+
+def test_annotate_rewrites_only_affected_blocks(spark, tmp_path):
+    """The doc_block-partitioned forward table makes annotate a TRUE
+    partial update: block dirs without matched keys keep their exact
+    files (same paths, same mtimes) — only affected partitions swap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkbm25.annotate import annotate_docs, read_annotations
+    from sparkbm25.build import build_index
+    from sparkbm25.fixtures import make_transcripts
+
+    t = make_transcripts(400, seed=21)
+    d = str(tmp_path / "blkidx")
+    build_index(spark, spark.createDataFrame(t), d,
+                IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                            n_build_chunks=1, doc_block_size=64),
+                input_desc="blk400")
+    docs_dir = os.path.join(d, "docs")
+    blocks = sorted(x for x in os.listdir(docs_dir) if x.startswith("doc_block="))
+    assert len(blocks) >= 4  # 400 docs / 64 per block
+
+    def snapshot(block):
+        p = os.path.join(docs_dir, block)
+        return {f: os.stat(os.path.join(p, f)).st_mtime_ns
+                for f in os.listdir(p) if f.endswith(".parquet")}
+
+    before = {b: snapshot(b) for b in blocks}
+    # annotate the FIRST 10 turns only -> they live in doc_block=0
+    first10 = t.sort_values(["conv_id", "turn_idx"]).head(10)
+    upd = spark.createDataFrame(
+        first10[["conv_id", "turn_idx"]].assign(value="x"))
+    n = annotate_docs(spark, d, upd, "tag")
+    assert n == 10
+    after = {b: snapshot(b) for b in blocks}
+    assert before["doc_block=0"] != after["doc_block=0"]
+    for b in blocks[1:]:
+        assert before[b] == after[b], f"{b} was rewritten needlessly"
+    got = read_annotations(spark, d).toPandas()
+    assert len(got) == 10 and set(got["name"]) == {"tag"}

@@ -79,3 +79,90 @@ def test_stream_index_available_now(spark, corpus, tmp_path):
     assert total == len(first) + len(second)
     hits = searcher.search("alpha", k=5)
     assert len(hits) == 5
+
+
+def test_stream_metrics_watermark(spark, tmp_path):
+    """Watermarked tumbling-window counts over a stream equal the batch
+    aggregation for every window the watermark finalized (append mode
+    only emits windows older than max event time - watermark; the tail
+    inside the watermark stays in state by design)."""
+    from pyspark.sql import functions as F
+
+    from sparkbm25.streaming import stream_metrics
+
+    import shutil
+
+    # the file streaming source wants a directory of files
+    ev_path = str(tmp_path / "events_src")
+    os.makedirs(ev_path)
+    shutil.copy("/root/testdata/sf0.01/events.parquet",
+                os.path.join(ev_path, "part-0000.parquet"))
+    out = str(tmp_path / "rates")
+    q = stream_metrics(spark, ev_path, out, str(tmp_path / "ck"),
+                       window_seconds=2, watermark="1 minute")
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+    ev = spark.read.parquet(ev_path)
+    batch = (
+        ev.groupBy(F.window("ts", "2 seconds").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n",
+                "value_sum")
+    ).toPandas()
+    key = ["win_start", "event_type"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    # every emitted window matches the batch answer exactly
+    assert len(merged) == len(got)
+    assert (merged["n_s"] == merged["n_b"]).all()
+    import numpy as np
+
+    np.testing.assert_allclose(merged["value_sum_s"], merged["value_sum_b"],
+                               rtol=1e-9)
+    # and the watermark finalized (at least) everything older than
+    # max(ts) - watermark - one window
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import pandas as pd
+
+    cutoff = pd.Timestamp(max_ts) - pd.Timedelta(seconds=62)
+    expect = batch[pd.to_datetime(batch["win_start"]) < cutoff]
+    assert len(got) >= len(expect)
+
+
+def test_worker_progress_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState: per-worker state folds across
+    micro-batches (maxFilesPerTrigger=1 forces 2 batches); the FINAL
+    update row per worker equals the batch-mode aggregation."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparkbm25.streaming import worker_progress_stream
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    # two files -> two micro-batches
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    a, b = ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1")
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    prog = worker_progress_stream(spark, src, n_workers=8,
+                                  max_files_per_trigger=1)
+    q = (prog.writeStream.format("memory").queryName("wprog")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT worker, max(n_processed) AS n FROM wprog GROUP BY worker"
+    ).toPandas().set_index("worker")["n"]
+    exp = (
+        ev.withColumn("worker", (F.col("user_id") % 8).cast("int"))
+        .groupBy("worker").count().toPandas().set_index("worker")["count"]
+    )
+    assert sorted(got.index) == sorted(exp.index)
+    for w in exp.index:
+        assert got[w] == exp[w], (w, got[w], exp[w])
