@@ -69,15 +69,20 @@ def main():
     checks.append(("segment scan: term predicate pushed to parquet",
                    "PushedFilters" in p and "term" in p.split("PushedFilters", 1)[1][:200]))
 
-    # 2. forward-table point resolve
+    # 2. forward-table point resolve: doc_block partition pruning +
+    #    doc_ord rowgroup pushdown
     docs = (
-        spark.read.parquet(*catalog.docs_paths(idx))
+        catalog.read_docs(spark, idx)
+        .where(F.col("doc_block").isin([0]))
         .where(F.col("doc_ord").isin([1, 2, 3]))
         .select("doc_ord", "conv_id", "turn_idx")
     )
     p = explain_str(docs)
-    sections.append(("Forward-table resolve (doc_ord IN)", p))
+    sections.append(("Forward-table resolve (doc_block pruned + doc_ord IN)", p))
     checks.append(("doc resolve: doc_ord pushed to scan", "PushedFilters" in p))
+    checks.append(("doc resolve: doc_block partition pruning",
+                   "PartitionFilters" in p and "doc_block" in p.split(
+                       "PartitionFilters", 1)[1][:200]))
 
     # 3. tf aggregation plan (map-side partial agg + codegen)
     src = spark.createDataFrame(make_transcripts(500))
