@@ -88,6 +88,18 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from sparkbm25.compact import compact_index
+
+    spark = _spark(args.master, "sparkbm25-compact")
+    res = compact_index(spark, args.index, args.out)
+    print(json.dumps({
+        "n_docs": res.n_docs, "seconds": round(res.seconds, 2),
+        "out": res.index_dir,
+    }))
+    return 0
+
+
 def cmd_monitor(args) -> int:
     from sparkbm25.metrics import build_summary
 
@@ -122,6 +134,13 @@ def main(argv=None) -> int:
     ps.add_argument("--mode", choices=["or", "and"], default="or")
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
+
+    pc = sub.add_parser(
+        "compact", help="fold index generations into one root (forceMerge)")
+    pc.add_argument("--index", required=True, help="multi-generation index root")
+    pc.add_argument("--out", required=True, help="compacted output dir")
+    pc.add_argument("--master", default=None)
+    pc.set_defaults(fn=cmd_compact)
 
     pm = sub.add_parser("monitor", help="build metrics from the manifest")
     pm.add_argument("--index", required=True)

@@ -166,3 +166,37 @@ def test_worker_progress_stateful_stream(spark, tmp_path):
     assert sorted(got.index) == sorted(exp.index)
     for w in exp.index:
         assert got[w] == exp[w], (w, got[w], exp[w])
+
+
+def test_compact_generations_parity(spark, corpus, tmp_path):
+    """Compaction (forceMerge analog) folds generations into one root:
+    batch AND WAND answers are identical to the multi-generation index,
+    and the compacted block maxima are exact under the global avgdl (no
+    inflation slack left for WAND to carry)."""
+    from sparkbm25.compact import compact_index
+
+    first, second = corpus
+    root = str(tmp_path / "cgen")
+    update_index(spark, spark.createDataFrame(first), root, CFG)
+    update_index(spark, spark.createDataFrame(second), root, CFG)
+
+    out = str(tmp_path / "compacted")
+    res = compact_index(spark, root, out)
+    assert res.n_docs == len(first) + len(second)
+
+    q = make_queries()
+    a = search_batch(spark, root, q, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = search_batch(spark, out, q, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a["conv_id"].tolist() == b["conv_id"].tolist()
+    np.testing.assert_allclose(a["score"].astype(float),
+                               b["score"].astype(float), rtol=1e-9)
+
+    s_multi, s_one = Searcher(spark, root), Searcher(spark, out)
+    assert len(s_one.gens) == 1
+    for qt in q["query_text"].iloc[:4]:
+        ga, gb = s_multi.search(qt, k=10), s_one.search(qt, k=10)
+        assert ga["conv_id"].tolist() == gb["conv_id"].tolist(), qt
+        np.testing.assert_allclose(ga["score"].astype(float),
+                                   gb["score"].astype(float), rtol=1e-9)
