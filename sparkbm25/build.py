@@ -584,6 +584,16 @@ def build_index(
         catalog.append_manifest(index_dir, _mrow(
             "tf", -1, n_docs, 0, s0, s1, lineage))
 
+    if n_docs == 0:
+        # empty input: a valid index is just the stats (queries
+        # short-circuit on n_docs == 0; nothing to encode or resolve)
+        if tf_df is not None:
+            df_tok._sparkbm25_cached.unpersist()
+        catalog.clear_staging(index_dir)
+        catalog.write_complete_marker(index_dir)
+        return BuildResult(index_dir=index_dir, n_docs=0, avgdl=0.0,
+                           seconds=time.time() - t0, turns_per_sec=0.0)
+
     # ---------------- stage 2: segments, chunked ----------------------
     k1, b, bs = config.k1, config.b, config.block_size
     encoder = _make_segment_encoder(k1, b, float(avgdl), bs)

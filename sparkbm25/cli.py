@@ -88,6 +88,21 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_annotate(args) -> int:
+    """MERGE-style partial update: read (conv_id, turn_idx, value)
+    updates from parquet and append {name, value} to the forward
+    table's nested annotations array (es_translator/es.py:92-129
+    analog). Only the doc_blocks containing matched keys rewrite."""
+    from sparkbm25.annotate import annotate_docs
+
+    spark = _spark(args.master, "sparkbm25-annotate")
+    upd = spark.read.parquet(args.updates)
+    n = annotate_docs(spark, args.index, upd, args.name,
+                      value_col=args.value_col)
+    print(json.dumps({"annotated": n, "name": args.name}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from sparkbm25.compact import compact_index
 
@@ -134,6 +149,16 @@ def main(argv=None) -> int:
     ps.add_argument("--mode", choices=["or", "and"], default="or")
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
+
+    pa = sub.add_parser(
+        "annotate", help="append a derived value to the docs annotations array")
+    pa.add_argument("--index", required=True)
+    pa.add_argument("--updates", required=True,
+                    help="parquet of (conv_id, turn_idx, <value-col>)")
+    pa.add_argument("--name", required=True, help="annotation name")
+    pa.add_argument("--value-col", default="value")
+    pa.add_argument("--master", default=None)
+    pa.set_defaults(fn=cmd_annotate)
 
     pc = sub.add_parser(
         "compact", help="fold index generations into one root (forceMerge)")

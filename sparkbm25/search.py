@@ -662,7 +662,7 @@ class Searcher:
         cfg = self.cfg
         terms = tokenize_one(parsed.text, cfg.token_pattern)
         counts = Counter(terms)
-        if not counts:
+        if not counts or self.n_docs == 0:
             self.last_path = None
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         # bound the driver collect: probe df first (column-pruned scan,

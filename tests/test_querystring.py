@@ -126,3 +126,28 @@ def test_filter_on_missing_field_raises(spark, built):
     # is covered in search_batch guard. Here: filters on tool work.
     got = search_batch(spark, d, q, k=5).toPandas()
     assert len(got) == 5
+
+
+def test_parser_fuzz_never_crashes_unbalanced_aside():
+    """Property: any whitespace-token soup either parses or raises
+    ValueError (never an unhandled exception), and parsed leaves are
+    always analyzable terms/phrases."""
+    import itertools
+
+    from sparkbm25.querystring import Phrase, Term, collect_leaves
+
+    vocab = ['a', 'B', 'NOT', 'AND', 'OR', '(', ')', '"x y"', 'role:en',
+             '-z', 'foo-bar', '42', '""', ':', 'x:']
+    for n in (1, 2, 3):
+        for combo in itertools.product(vocab, repeat=n):
+            q = " ".join(combo)
+            try:
+                p = parse_query_string(q)
+            except ValueError:
+                continue
+            pos, neg = collect_leaves(p.tree)
+            for leaf in pos + neg:
+                if isinstance(leaf, Term):
+                    assert leaf.text == leaf.text.lower()
+                elif isinstance(leaf, Phrase):
+                    assert all(t == t.lower() for t in leaf.terms)

@@ -109,3 +109,25 @@ def test_dirty_staging_cleared(spark, corpus_df, tmp_path):
     build_index(spark, corpus_df, d, IndexConfig(), resume=True, input_desc="y")
     assert not os.path.exists(f"{d}/_staging")
     assert spark.read.parquet(f"{d}/segments").count() > 0
+
+
+def test_empty_corpus_build_and_search(spark, tmp_path):
+    """A zero-row input builds a valid (empty) index and every query
+    path answers empty instead of crashing."""
+    import pandas as pd
+
+    from sparkbm25 import IndexConfig, Searcher, build_index, search_batch
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+    d = str(tmp_path / "emptyidx")
+    res = build_index(spark, empty, d,
+                      IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                                  n_build_chunks=1),
+                      input_desc="empty")
+    assert res.n_docs == 0
+    q = pd.DataFrame({"query_id": [0], "query_text": ["alpha"], "k": [5]})
+    assert search_batch(spark, d, q, k=5).count() == 0
+    s = Searcher(spark, d)
+    assert len(s.search("alpha", k=5)) == 0
