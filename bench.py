@@ -82,6 +82,11 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # zstd shuffle blocks: ~8% faster than lz4 at high parallelism
+        # here (the build is shuffle-bandwidth-bound; denser blocks move
+        # fewer bytes), ~5% slower at 2 threads — the right trade at
+        # cluster scale (measured A/B in BENCH/BASELINE.md)
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", os.path.join(shm, "local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -30,6 +30,7 @@ def _spark(master: str | None, app: str):
     b = (
         b.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.io.compression.codec", "zstd")
     )
     return b.getOrCreate()
 

@@ -565,11 +565,14 @@ class Searcher:
     the blocks column) precedes the postings fetch, and a query whose
     total postings exceed the bound routes through the distributed
     batch path instead. Round-1 would collect GBs for a stopword query
-    at scale (VERDICT item 10). self.last_path records which path ran
-    ('wand' | 'and' | 'batch') for tests/observability."""
+    at scale (VERDICT item 10). The default (1e7 postings ≈ 30-80 MB
+    of blocks) is a MEMORY-SAFETY bound, not a speed heuristic — below
+    it the WAND driver path is usually faster than a distributed job.
+    self.last_path records which path ran ('wand' | 'and' | 'batch')
+    for tests/observability."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 max_driver_postings: int = 2_000_000):
+                 max_driver_postings: int = 10_000_000):
         self.spark = spark
         self.index_dir = index_dir
         self.max_driver_postings = max_driver_postings
