@@ -538,17 +538,42 @@ ORDER BY doc_id ASC LIMIT {TOPK}
 _INCR_CACHE: dict[str, str] = {}
 
 
-def q_bm25_incremental(spark, sf_dir):
-    """Incremental-generation index (streaming.update_index twice over
-    a doc_id split) must answer identically to the SQL oracle over the
-    whole corpus — generation merge correctness."""
-    from sparkbm25.search import search_batch
-    from sparkbm25.streaming import update_index
-    from sparkbm25.config import IndexConfig
+_COMPACT_CACHE: dict[str, str] = {}
 
+
+def q_bm25_compacted(spark, sf_dir):
+    """Compaction correctness: fold the two-generation incremental
+    index into one root (block maxima re-encoded under the global
+    avgdl) — it must answer the SAME SQL oracle as a from-scratch
+    build over the whole corpus."""
+    from sparkbm25.compact import compact_index
+    from sparkbm25.search import search_batch
+
+    key = os.path.abspath(sf_dir)
+    if key not in _COMPACT_CACHE:
+        _ensure_incremental(spark, sf_dir)
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "sparkbm25_compact_" + key.strip("/").replace("/", "_"))
+        compact_index(spark, _INCR_CACHE[key], out)
+        _COMPACT_CACHE[key] = out
+    queries = pd.DataFrame(
+        {"query_id": [0], "query_text": [" ".join(BM25_TERMS)], "k": [TOPK]})
+    out_df = search_batch(spark, _COMPACT_CACHE[key], queries, k=TOPK, mode="or")
+    return out_df.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
+def _ensure_incremental(spark, sf_dir) -> str:
     key = os.path.abspath(sf_dir)
     if key not in _INCR_CACHE:
         import shutil
+
+        from sparkbm25.streaming import update_index
+        from sparkbm25.config import IndexConfig
 
         root = os.path.join(
             tempfile.gettempdir(),
@@ -561,6 +586,17 @@ def q_bm25_incremental(spark, sf_dir):
         update_index(spark, t.where(F.col("conv_id") < cut), root, cfg)
         update_index(spark, t.where(F.col("conv_id") >= cut), root, cfg)
         _INCR_CACHE[key] = root
+    return _INCR_CACHE[key]
+
+
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental-generation index (streaming.update_index twice over
+    a doc_id split) must answer identically to the SQL oracle over the
+    whole corpus — generation merge correctness."""
+    from sparkbm25.search import search_batch
+
+    key = os.path.abspath(sf_dir)
+    _ensure_incremental(spark, sf_dir)
     queries = pd.DataFrame(
         {"query_id": [0], "query_text": [" ".join(BM25_TERMS)], "k": [TOPK]})
     out = search_batch(spark, _INCR_CACHE[key], queries, k=TOPK, mode="or")
@@ -1576,6 +1612,7 @@ QUERIES = {
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),
+    "bm25_compacted": (q_bm25_compacted, SQL_BM25_TOPK),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),
     "lang_id": (q_lang_id_engine, SQL_LANG_ID),
