@@ -200,7 +200,7 @@ def cosine_dup_pairs(
     first = emb.select(vec_col).first()
     if first is None:
         return emb.sparkSession.createDataFrame(
-            [], f"id1 bigint, id2 bigint, cos_micro bigint")
+            [], "id1 bigint, id2 bigint, cos_micro bigint")
     planes = hash_planes(n_planes, len(first[0]))
     b = hyperplane_buckets(emb, planes, id_col, vec_col)
     ok = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))

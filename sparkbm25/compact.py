@@ -35,10 +35,11 @@ from sparkbm25.codec import varint_decode
 from sparkbm25.config import IndexConfig
 
 
-def _make_remax(k1: float, b: float, avgdl: float, with_pos: bool):
+def _make_remax(k1: float, b: float, avgdl: float):
     """mapInArrow stage: decode each block's tfs/dls varints, recompute
     max_impact under the given (global) avgdl, re-emit the row with the
-    posting bytes untouched."""
+    posting bytes untouched (any extra struct fields — e.g. pos — pass
+    through by name)."""
 
     def remax(batches):
         import pyarrow as pa
@@ -116,7 +117,7 @@ def compact_index(spark: SparkSession, index_root: str, out_dir: str) -> BuildRe
     no_bucket_schema = segment_schema(with_pos).split(", ", 1)[1]
     remaxed = (
         segs.select("term", "salt", "n_docs", "blocks")
-        .mapInArrow(_make_remax(cfg.k1, cfg.b, float(avgdl), with_pos),
+        .mapInArrow(_make_remax(cfg.k1, cfg.b, float(avgdl)),
                     schema=no_bucket_schema)
         .withColumn("term_bucket",
                     term_bucket_col(F.col("term"), cfg.n_term_buckets))

@@ -149,3 +149,48 @@ def test_phrase_across_generations(spark, tmp_path):
         halves.add(r.conv_id < t["conv_id"].iloc[300])
     expect = {key for key, txt in texts.items() if phrase in txt}
     assert {(r.conv_id, r.turn_idx) for r in got.itertuples()} == expect
+
+
+def test_mixed_legacy_and_phrase_batch(spark, built):
+    """One batch mixing a legacy implicit query with a phrase query:
+    the phrase machinery must not disturb the legacy result."""
+    from sparkbm25 import bm25_reference_topk
+
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    q = pd.DataFrame({
+        "query_id": [0, 1],
+        "query_text": ["alpha w0001", f'"{w1} {w2}"'],
+        "k": [5, 20],
+    })
+    got = search_batch(spark, d, q, k=5).toPandas()
+    g0 = got[got.query_id == 0].sort_values("rank")
+    exp0 = bm25_reference_topk(t, pd.DataFrame(
+        {"query_id": [0], "query_text": ["alpha w0001"], "k": [5]}), k=5)
+    assert g0["conv_id"].tolist() == exp0["conv_id"].tolist()
+    np.testing.assert_allclose(g0["score"].astype(float),
+                               exp0["score"].astype(float), rtol=1e-9)
+    phrase = f"{w1} {w2}"
+    for r in got[got.query_id == 1].itertuples():
+        assert phrase in texts[(r.conv_id, r.turn_idx)]
+
+
+def test_filter_with_boolean_tree(spark, built):
+    """Structured predicate + explicit boolean tree in one query:
+    'role:user (w1 OR w2) AND NOT w3' — candidates obey BOTH the
+    filter and the tree."""
+    t, d, texts = built
+    roles = {(r.conv_id, r.turn_idx): r.role for r in t.itertuples(index=False)}
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2, w3 = toks[2], toks[3], toks[4]
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f"role:user ({w1} OR {w2}) AND NOT {w3}"],
+                      "k": [10]})
+    got = search_batch(spark, d, q, k=10).toPandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        key = (r.conv_id, r.turn_idx)
+        ws = _words(texts, key)
+        assert roles[key] == "user"
+        assert (w1 in ws or w2 in ws) and w3 not in ws
