@@ -69,17 +69,21 @@ def annotate_docs(
         if "annotations" not in docs.columns:
             docs = docs.withColumn(
                 "annotations", F.lit(None).cast(ANNOTATION_TYPE))
-        # locate the affected doc_blocks (one pruned-column scan: only
-        # the join keys + partition column are read)
-        affected = sorted(
-            r["doc_block"] for r in (
-                docs.select("conv_id", "turn_idx", "doc_block")
-                .join(F.broadcast(upd.select("_u_conv_id", "_u_turn_idx")),
-                      (F.col("conv_id") == F.col("_u_conv_id"))
-                      & (F.col("turn_idx") == F.col("_u_turn_idx")),
-                      "left_semi")
-                .select("doc_block").distinct().collect()
-            ))
+        # locate the affected doc_blocks + the matched-row count in one
+        # pruned-column scan (only the join keys + partition column are
+        # read; the annotations/blocks bytes never move)
+        keys = upd.select("_u_conv_id", "_u_turn_idx").distinct()
+        per_block = (
+            docs.select("conv_id", "turn_idx", "doc_block")
+            .join(F.broadcast(keys),
+                  (F.col("conv_id") == F.col("_u_conv_id"))
+                  & (F.col("turn_idx") == F.col("_u_turn_idx")),
+                  "left_semi")
+            .groupBy("doc_block").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        affected = sorted(r["doc_block"] for r in per_block)
+        n_updated += sum(int(r["n"]) for r in per_block)
         if not affected:
             continue
         sub = docs.where(F.col("doc_block").isin(affected))
@@ -104,11 +108,6 @@ def annotate_docs(
         staging = catalog.staging_dir(gen, "docs_annotate")
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").partitionBy("doc_block").parquet(staging)
-        committed = spark.read.parquet(staging)
-        n_updated += (
-            committed.where(F.exists(
-                "annotations", lambda a: a["name"] == F.lit(name)))
-            .count())
         # atomic per-partition swap: only the affected block dirs move
         for blk in affected:
             src = os.path.join(staging, f"doc_block={blk}")

@@ -876,6 +876,54 @@ FROM documents WHERE doc_id < 300 AND doc_id % 7 = 0
 """
 
 
+_XLATE_CACHE: dict[str, str] = {}
+
+
+def q_translate_readback(spark, sf_dir):
+    """The reference's END-TO-END JOB, natively: scan -> skip already-
+    translated (is_translated anti-join) -> per-row interpreter
+    transform (model-map) -> nested-array write-back
+    (content_translated analog), then read the translations back.
+    Interpreter = the deterministic token-reversal stub, so the oracle
+    reproduces the exact output in SQL."""
+    from sparkbm25.build import build_index
+    from sparkbm25.config import IndexConfig
+    from sparkbm25.translate import ReverseTokenInterpreter, translate_into_index
+    from sparkbm25.annotate import read_annotations
+
+    key = os.path.abspath(sf_dir)
+    if key not in _XLATE_CACHE:
+        import shutil
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "sparkbm25_xlate_" + key.strip("/").replace("/", "_"))
+        shutil.rmtree(idx, ignore_errors=True)
+        t = docs_as_transcripts(spark, sf_dir).where(
+            F.col("conv_id").cast("bigint") < 100)
+        cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
+        build_index(spark, t, idx, cfg, input_desc=key + ":xlate")
+        n1 = translate_into_index(spark, idx, t, ReverseTokenInterpreter())
+        # the is_translated resume gate: a second run finds nothing
+        n2 = translate_into_index(spark, idx, t, ReverseTokenInterpreter())
+        assert n1 == 100 and n2 == 0, (n1, n2)
+        _XLATE_CACHE[key] = idx
+    out = read_annotations(spark, _XLATE_CACHE[key]).where(
+        F.col("name") == "rev")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("value").alias("translation"))
+
+
+SQL_TRANSLATE_READBACK = f"""
+WITH {LTOKS_CTE}
+SELECT doc_id,
+       array_to_string(list_transform(toks, t -> reverse(t)), ' ')
+         AS translation
+FROM ltoks WHERE doc_id < 100
+"""
+
+
 _ANNOT_CACHE: dict[str, str] = {}
 
 
@@ -1625,6 +1673,7 @@ QUERIES = {
     "curate_exact_dedup": (q_curate_exact_dedup_count, SQL_CURATE_EXACT),
     "annotate_readback": (q_annotate_readback, SQL_ANNOTATE_READBACK),
     "error_sideout": (q_error_sideout, SQL_ERROR_SIDEOUT),
+    "translate_readback": (q_translate_readback, SQL_TRANSLATE_READBACK),
     "windowed_rate": (q_windowed_rate, SQL_WINDOWED_RATE),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "sliding_avg": (q_sliding_avg, SQL_SLIDING_AVG),

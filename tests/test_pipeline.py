@@ -113,3 +113,34 @@ def test_annotate_rewrites_only_affected_blocks(spark, tmp_path):
         assert before[b] == after[b], f"{b} was rewritten needlessly"
     got = read_annotations(spark, d).toPandas()
     assert len(got) == 10 and set(got["name"]) == {"tag"}
+
+
+def test_translate_into_index_partial_resume(spark, tmp_path):
+    """The reference's end-to-end job with its is_translated gate:
+    translate half the corpus, then run over the WHOLE corpus — only
+    the untranslated half processes; values are the interpreter's."""
+    from sparkbm25.annotate import read_annotations
+    from sparkbm25.build import build_index
+    from sparkbm25.fixtures import make_transcripts
+    from sparkbm25.translate import ReverseTokenInterpreter, translate_into_index
+
+    t = make_transcripts(200, seed=31)
+    d = str(tmp_path / "xidx")
+    build_index(spark, spark.createDataFrame(t), d,
+                IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                            n_build_chunks=1), input_desc="x200")
+    interp = ReverseTokenInterpreter()
+    half = spark.createDataFrame(t.iloc[:100])
+    n1 = translate_into_index(spark, d, half, interp)
+    assert n1 == 100
+    n2 = translate_into_index(spark, d, spark.createDataFrame(t), interp)
+    assert n2 == 100  # only the remaining half
+    got = read_annotations(spark, d).where("name = 'rev'").toPandas()
+    assert len(got) == 200
+    # spot-check the translation content
+    row = t.iloc[5]
+    val = got[(got.conv_id == row.conv_id)
+              & (got.turn_idx == row.turn_idx)]["value"].iloc[0]
+    import re
+    expect = " ".join(w[::-1] for w in re.findall("[a-z0-9]+", row.text.lower()))
+    assert val == expect
