@@ -38,6 +38,27 @@ def curate_and_index(*args, **kwargs):
     return _f(*args, **kwargs)
 
 
+def annotate_docs(*args, **kwargs):
+    """MERGE-style nested-array partial update (see annotate)."""
+    from sparkbm25.annotate import annotate_docs as _f
+
+    return _f(*args, **kwargs)
+
+
+def translate_into_index(*args, **kwargs):
+    """The reference's end-to-end translate job (see translate)."""
+    from sparkbm25.translate import translate_into_index as _f
+
+    return _f(*args, **kwargs)
+
+
+def compact_index(*args, **kwargs):
+    """Fold index generations into one root (see compact)."""
+    from sparkbm25.compact import compact_index as _f
+
+    return _f(*args, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -48,4 +69,7 @@ __all__ = [
     "bm25_reference_topk",
     "update_index",
     "curate_and_index",
+    "annotate_docs",
+    "translate_into_index",
+    "compact_index",
 ]
