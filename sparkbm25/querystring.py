@@ -40,6 +40,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from sparkbm25.analysis import DEFAULT_TOKEN_PATTERN
+
 FILTER_FIELDS = {"role", "tool", "conv_id"}
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 _TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
@@ -116,10 +118,12 @@ class _Parser:
     the tree level; the engine maps an all-implicit query back to
     legacy mode semantics); unary -> NOT unary | atom."""
 
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str],
+                 token_pattern: str = DEFAULT_TOKEN_PATTERN):
         self.toks = toks
         self.i = 0
         self.explicit = False
+        self.token_pattern = token_pattern
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -181,11 +185,11 @@ class _Parser:
             return node
         if t.startswith('"'):
             self.explicit = True
-            return Phrase(_analyze(t.strip('"')))
+            return Phrase(_analyze(t.strip('"'), self.token_pattern))
         m = _FIELD_RE.match(t)
         if m and m.group(1).lower() in FILTER_FIELDS:
             return Filter(m.group(1).lower(), m.group(2))
-        terms = _analyze(t)
+        terms = _analyze(t, self.token_pattern)
         if len(terms) == 1:
             return Term(terms[0])
         if not terms:
@@ -195,9 +199,12 @@ class _Parser:
         return And([Term(x) for x in terms])
 
 
-def _analyze(text: str) -> list[str]:
-    """Query-side analysis — MUST match analysis.tokenize_series."""
-    return re.findall("[a-z0-9]+", (text or "").lower())
+def _analyze(text: str, token_pattern: str = DEFAULT_TOKEN_PATTERN) -> list[str]:
+    """Query-side analysis — MUST match analysis.tokenize_series, so the
+    index's token_pattern threads through to every explicit leaf (an
+    index built with a custom pattern analyzes queries identically;
+    round-2 hardcoded the default here — ADVICE low)."""
+    return re.findall(token_pattern, (text or "").lower())
 
 
 def _extract_top_filters(node: Node | None):
@@ -259,8 +266,9 @@ def collect_leaves(node: Node | None):
     return pos, negd
 
 
-def parse_query_string(q: str) -> ParsedQuery:
-    p = _Parser(_lex(q))
+def parse_query_string(q: str,
+                       token_pattern: str = DEFAULT_TOKEN_PATTERN) -> ParsedQuery:
+    p = _Parser(_lex(q), token_pattern)
     tree = p.parse()
     filters, neg_filters, text_tree = _extract_top_filters(tree)
     pos, _neg = collect_leaves(text_tree)

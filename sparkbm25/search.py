@@ -67,15 +67,26 @@ class _QueryPlan:
     """One query's compiled form: slot-numbered leaves + an acceptance
     function over the per-doc matched-leaf bitmask."""
 
-    __slots__ = ("qid", "k", "filters", "neg_filters", "leaves", "accept")
+    __slots__ = ("qid", "k", "filters", "neg_filters", "leaves", "accept",
+                 "accept_empty")
 
-    def __init__(self, qid, k, filters, neg_filters, leaves, accept):
+    def __init__(self, qid, k, filters, neg_filters, leaves, accept,
+                 accept_empty=False):
         self.qid = qid
         self.k = k
         self.filters = filters
         self.neg_filters = neg_filters
         self.leaves = leaves      # list of dicts: slot/kind/terms/weight
         self.accept = accept      # mask Column -> Column(bool), or None
+        # the boolean tree evaluated at the EMPTY mask: True means a doc
+        # matching no leaf at all is accepted (pure-negative trees like
+        # 'NOT spam') — such docs have no posting rows and must come
+        # from the forward table instead (ES/Lucene semantics)
+        self.accept_empty = accept_empty
+
+    @property
+    def has_positive(self) -> bool:
+        return any(l["weight"] > 0.0 for l in self.leaves)
 
 
 def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
@@ -90,11 +101,24 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
     0 and only set their mask bit)."""
     from sparkbm25 import querystring as qs
 
+    def eval_empty(n) -> bool:
+        """The boolean tree at the empty mask (no leaf matched)."""
+        if isinstance(n, (qs.Term, qs.Phrase)):
+            return False
+        if isinstance(n, qs.Not):
+            return not eval_empty(n.child)
+        if isinstance(n, qs.And):
+            return all(eval_empty(c) for c in n.children)
+        if isinstance(n, qs.Or):
+            return any(eval_empty(c) for c in n.children)
+        raise TypeError(type(n))
+
     plans: list[_QueryPlan] = []
     for q in queries.itertuples(index=False):
         qid = int(q.query_id)
         k = int(getattr(q, "k", default_k) or default_k)
-        parsed = qs.parse_query_string(q.query_text)
+        parsed = qs.parse_query_string(q.query_text, cfg.token_pattern)
+        accept_empty = False
         leaves: list[dict] = []
         if not parsed.explicit:
             counts = Counter(tokenize_one(parsed.text, cfg.token_pattern))
@@ -130,6 +154,8 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                 raise ValueError(
                     f"query {qid}: pure-negative queries need a positive "
                     "clause or a structured predicate (Lucene semantics)")
+            accept_empty = (eval_empty(parsed.tree)
+                            if parsed.tree is not None else False)
 
             def make_accept(tree, slot_map):
                 def bit(m, s):
@@ -159,7 +185,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
         if len(leaves) > 62:
             raise ValueError(f"query {qid}: more than 62 leaves")
         plans.append(_QueryPlan(qid, k, parsed.filters, parsed.neg_filters,
-                                leaves, accept))
+                                leaves, accept, accept_empty))
     return plans
 
 
@@ -265,12 +291,10 @@ def search_batch(
     k1, b = cfg.k1, cfg.b
 
     def decode_score(batches):
-        from sparkbm25.codec import decode_block, decode_block_positions
-
         for pdf in batches:
             out = {c: [] for c in
                    ("query_id", "doc_ord", "slot", "tidx", "n_terms",
-                    "score", "is_phrase", "positions")}
+                    "score", "is_phrase")}
             for row in pdf.itertuples(index=False):
                 docs, tfs, dls = decode_blocks(row.blocks)
                 if docs.size == 0:
@@ -286,19 +310,6 @@ def search_batch(
                 out["score"].append(w)
                 out["is_phrase"].append(
                     np.full(n, bool(row.is_phrase), dtype=bool))
-                if row.is_phrase:
-                    plists = []
-                    for blk in row.blocks:
-                        _d, t, _l = decode_block(blk)
-                        flat, occ = decode_block_positions(blk, t)
-                        plists.extend(np.split(flat, occ[1:-1]))
-                    # explicit object array: np.array() would build a 2-D
-                    # matrix when every posting has equal tf
-                    parr = np.empty(len(plists), dtype=object)
-                    parr[:] = plists
-                    out["positions"].append(parr)
-                else:
-                    out["positions"].append(np.full(n, None, dtype=object))
             if out["query_id"]:
                 yield pd.DataFrame(
                     {c: np.concatenate(v) for c, v in out.items()})
@@ -306,42 +317,96 @@ def search_batch(
     parts = hits.mapInPandas(
         decode_score,
         schema="query_id int, doc_ord bigint, slot int, tidx int, "
-               "n_terms int, score double, is_phrase boolean, "
-               "positions array<bigint>")
+               "n_terms int, score double, is_phrase boolean")
 
     if any_phrase:
         term_rows = parts.where(~F.col("is_phrase")).select(
             "query_id", "doc_ord", "slot", "score")
 
-        def verify_phrases(batches):
-            for pdf in batches:
-                rows = []
-                for (qid, d, slot), g in pdf.groupby(
-                        ["query_id", "doc_ord", "slot"], sort=False):
-                    m = int(g["n_terms"].iloc[0])
-                    if g["tidx"].nunique() != m:
-                        continue
-                    g2 = g.sort_values("tidx")
-                    base = None
-                    for tidx, positions in zip(g2["tidx"], g2["positions"]):
-                        arr = np.asarray(positions, dtype=np.int64) - int(tidx)
-                        base = arr if base is None else np.intersect1d(base, arr)
-                        if base.size == 0:
-                            break
-                    if base is not None and base.size:
-                        rows.append((int(qid), int(d), int(slot),
-                                     float(g2["score"].sum())))
-                if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["query_id", "doc_ord", "slot", "score"])
-
-        verified = (
+        # JVM-side prefilter (round-2 VERDICT item 2): only docs
+        # matching ALL of a phrase's terms can be phrase matches, so
+        # the completeness check aggregates NARROW columns first —
+        # position payloads never shuffle for the (often huge) set of
+        # docs that matched just one hot term of the phrase. The
+        # survivor set is bounded by the rarest phrase term's df
+        # (intersection), so it broadcasts; a phrase of pure stopwords
+        # is the worst case and still only ships survivors' positions.
+        survivors = (
             parts.where(F.col("is_phrase"))
-            .repartition("query_id", "doc_ord")
-            .mapInPandas(verify_phrases,
-                         schema="query_id int, doc_ord bigint, slot int, "
-                                "score double")
+            .groupBy("query_id", "doc_ord", "slot")
+            .agg(F.countDistinct("tidx").alias("nt"),
+                 F.max("n_terms").alias("m"))
+            .where(F.col("nt") == F.col("m"))
+            .select("query_id", "doc_ord", "slot")
         )
+
+        def decode_pos(batches):
+            # positions stage: each block decoded ONCE (docs/tfs feed
+            # both the score and the occurrence-count split — round-2
+            # decoded twice, VERDICT item 3)
+            from sparkbm25.codec import decode_block, decode_block_positions
+
+            for pdf in batches:
+                out = {c: [] for c in ("query_id", "doc_ord", "slot",
+                                       "tidx", "score", "positions")}
+                for row in pdf.itertuples(index=False):
+                    for blk in row.blocks:
+                        docs, tfs, dls = decode_block(blk)
+                        if docs.size == 0:
+                            continue
+                        denom = tfs + k1 * (1.0 - b + b * (dls / avgdl))
+                        w = row.weight * row.idf * (k1 + 1.0) * tfs / denom
+                        flat, occ = decode_block_positions(blk, tfs)
+                        plists = np.split(flat, occ[1:-1])
+                        # explicit object array: np.array() would build
+                        # a 2-D matrix when every posting has equal tf
+                        parr = np.empty(len(plists), dtype=object)
+                        parr[:] = plists
+                        n = docs.size
+                        out["query_id"].append(
+                            np.full(n, row.query_id, dtype=np.int32))
+                        out["doc_ord"].append(docs)
+                        out["slot"].append(np.full(n, row.slot, dtype=np.int32))
+                        out["tidx"].append(np.full(n, row.tidx, dtype=np.int32))
+                        out["score"].append(w)
+                        out["positions"].append(parr)
+                if out["query_id"]:
+                    yield pd.DataFrame(
+                        {c: np.concatenate(v) for c, v in out.items()})
+
+        pos_rows = hits.where(F.col("is_phrase")).mapInPandas(
+            decode_pos,
+            schema="query_id int, doc_ord bigint, slot int, tidx int, "
+                   "score double, positions array<bigint>")
+        pruned = pos_rows.join(
+            F.broadcast(survivors), ["query_id", "doc_ord", "slot"],
+            "left_semi")
+
+        def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            # applyInPandas delivers the WHOLE (query_id, doc_ord, slot)
+            # group — round-2 grouped within Arrow batches, silently
+            # dropping matches whose rows straddled a 10k-row batch
+            # boundary (ADVICE r2 high)
+            g = pdf.sort_values("tidx")
+            base = None
+            for tidx, positions in zip(g["tidx"], g["positions"]):
+                arr = np.asarray(positions, dtype=np.int64) - int(tidx)
+                base = arr if base is None else np.intersect1d(base, arr)
+                if base.size == 0:
+                    return pd.DataFrame({
+                        "query_id": pd.Series(dtype="int32"),
+                        "doc_ord": pd.Series(dtype="int64"),
+                        "slot": pd.Series(dtype="int32"),
+                        "score": pd.Series(dtype="float64")})
+            return pd.DataFrame({
+                "query_id": [int(g["query_id"].iloc[0])],
+                "doc_ord": [int(g["doc_ord"].iloc[0])],
+                "slot": [int(g["slot"].iloc[0])],
+                "score": [float(g["score"].sum())]})
+
+        verified = pruned.groupBy("query_id", "doc_ord", "slot").applyInPandas(
+            verify_group,
+            schema="query_id int, doc_ord bigint, slot int, score double")
         leaf_rows = term_rows.unionByName(verified)
     else:
         leaf_rows = parts.select("query_id", "doc_ord", "slot", "score")
@@ -352,11 +417,49 @@ def search_batch(
         F.sum(F.expr("shiftleft(cast(1 as bigint), slot)")).alias("mask"),
     )
 
+    # pure-negative text + structured filter ('role:user AND NOT spam',
+    # ADVICE r2 high): docs matching NO leaf never enter `scored` (no
+    # posting rows), so candidates come from the forward table; the
+    # posting-derived mask then removes docs the boolean tree rejects
+    # (anti-join on the negated terms' postings). Constant score 1.0
+    # (ES filter-context), deterministic doc order — the filter-only
+    # semantics extended by the negation.
+    negonly = [p for p in plans if p.leaves and not p.has_positive]
+    neg_qids = {int(p.qid) for p in negonly}
+    if negonly:
+        from sparkbm25.querystring import filter_condition
+
+        docs_all = catalog.read_docs(spark, index_dir)
+        for p in negonly:
+            cand = (
+                docs_all.where(filter_condition(p.filters, p.neg_filters))
+                .select("doc_ord", "conv_id", "turn_idx"))
+            if p.accept is not None:
+                pm = scored.where(F.col("query_id") == F.lit(int(p.qid)))
+                if p.accept_empty:
+                    bad = pm.where(~p.accept(F.col("mask"))).select("doc_ord")
+                    cand = cand.join(bad, "doc_ord", "left_anti")
+                else:
+                    ok = pm.where(p.accept(F.col("mask"))).select("doc_ord")
+                    cand = cand.join(ok, "doc_ord", "left_semi")
+            part = (
+                cand.orderBy("doc_ord").limit(p.k)
+                .select(F.lit(int(p.qid)).cast("int").alias("query_id"),
+                        F.row_number().over(
+                            Window.orderBy("doc_ord")).cast("int").alias("rank"),
+                        "conv_id",
+                        F.col("turn_idx").cast("int").alias("turn_idx"),
+                        F.lit(1.0).alias("score")))
+            fonly_df = part if fonly_df is None else fonly_df.unionByName(part)
+        scored = scored.where(~F.col("query_id").isin(list(neg_qids)))
+        if len(neg_qids) == len(plans):
+            return fonly_df
+
     # boolean acceptance: the per-query tree over the matched bitmask,
     # compiled to one Catalyst predicate for the whole batch
     accepts = None
     for p in plans:
-        if p.accept is None:
+        if p.accept is None or p.qid in neg_qids:
             continue
         cond = (F.col("query_id") == p.qid) & p.accept(F.col("mask"))
         accepts = cond if accepts is None else (accepts | cond)
@@ -365,7 +468,8 @@ def search_batch(
     scored = scored.drop("mask")
 
     qfilters = {p.qid: (p.filters, p.neg_filters) for p in plans
-                if (p.filters or p.neg_filters) and p.qid in qids_with_terms}
+                if (p.filters or p.neg_filters) and p.qid in qids_with_terms
+                and p.qid not in neg_qids}
     if qfilters:
         # structured query_string predicates (F1): restrict candidates
         # via the forward table — Catalyst pushes the predicate to the
@@ -655,7 +759,7 @@ class Searcher:
         batch path (filters need the forward table anyway)."""
         from sparkbm25.querystring import parse_query_string
 
-        parsed = parse_query_string(query_text)
+        parsed = parse_query_string(query_text, self.cfg.token_pattern)
         if parsed.has_filters or parsed.explicit:
             # structured predicates need the forward table; boolean
             # trees / phrases are evaluated by the batch path's

@@ -194,3 +194,63 @@ def test_filter_with_boolean_tree(spark, built):
         ws = _words(texts, key)
         assert roles[key] == "user"
         assert (w1 in ws or w2 in ws) and w3 not in ws
+
+
+def test_phrase_survives_small_arrow_batches(spark, built):
+    """Round-2 bug (ADVICE high): phrase groups straddling an Arrow
+    batch boundary were silently dropped. The verify stage now uses
+    groupBy().applyInPandas (structural group completeness); force
+    tiny batches so any per-batch grouping regression loses matches."""
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    phrase = f"{w1} {w2}"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = pd.DataFrame({"query_id": [0], "query_text": [f'"{phrase}"'],
+                          "k": [200]})
+        got = search_batch(spark, d, q, k=200).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    expect = {key for key, txt in texts.items() if phrase in txt}
+    assert {(r.conv_id, r.turn_idx) for r in got.itertuples()} == expect
+
+
+def test_negative_with_filter(spark, built):
+    """Round-2 bug (ADVICE high): 'role:user AND NOT w' returned empty
+    (only docs CONTAINING w had posting rows, and the mask rejected
+    all of them). Expected: the filtered docs NOT containing the term,
+    constant score 1.0, deterministic doc order."""
+    t, d, texts = built
+    roles = {(r.conv_id, r.turn_idx): r.role for r in t.itertuples(index=False)}
+    toks = t["text"].iloc[0].lower().split()
+    w = toks[2]
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f"role:user AND NOT {w}"],
+                      "k": [25]})
+    got = search_batch(spark, d, q, k=25).toPandas().sort_values("rank")
+    expect = sorted(
+        key for key, txt in texts.items()
+        if roles[key] == "user" and w not in _words(texts, key))[:25]
+    assert [(r.conv_id, r.turn_idx) for r in got.itertuples()] == expect
+    assert (got["score"] == 1.0).all()
+
+
+def test_negative_phrase_with_filter(spark, built):
+    """NOT applied to a phrase under a structured filter: docs
+    containing only one phrase term are NOT excluded (the phrase, not
+    its words, is negated)."""
+    t, d, texts = built
+    roles = {(r.conv_id, r.turn_idx): r.role for r in t.itertuples(index=False)}
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    phrase = f"{w1} {w2}"
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f'role:user AND NOT "{phrase}"'],
+                      "k": [25]})
+    got = search_batch(spark, d, q, k=25).toPandas().sort_values("rank")
+    expect = sorted(
+        key for key, txt in texts.items()
+        if roles[key] == "user" and phrase not in txt)[:25]
+    assert [(r.conv_id, r.turn_idx) for r in got.itertuples()] == expect
