@@ -62,6 +62,15 @@ def annotate_docs(
         F.col("turn_idx").cast("int").alias("_u_turn_idx"),
         F.col(value_col).cast("string").alias("_u_value"),
     )
+    # key dedup BEFORE the merge (ADVICE r2): caller-supplied frames may
+    # carry duplicate (conv_id, turn_idx) rows, and a plain left join
+    # would multiply forward-table rows — permanent doc_ord duplication.
+    # Policy: ALL values append, in deterministic (sorted) order.
+    upd = (
+        upd.where(F.col("_u_value").isNotNull())
+        .groupBy("_u_conv_id", "_u_turn_idx")
+        .agg(F.array_sort(F.collect_list("_u_value")).alias("_u_values"))
+    )
     n_updated = 0
     for gen in catalog.generation_dirs(index_dir):
         docs_path = catalog.docs_dir(gen)
@@ -98,23 +107,34 @@ def annotate_docs(
         merged = joined.select(
             *[c for c in docs.columns if c != "annotations"],
             F.when(
-                F.col("_u_value").isNotNull(),
-                F.array_append(
+                F.col("_u_values").isNotNull(),
+                F.concat(
                     base,
-                    F.struct(F.lit(name).alias("name"),
-                             F.col("_u_value").alias("value"))),
+                    F.transform(
+                        F.col("_u_values"),
+                        lambda v: F.struct(F.lit(name).alias("name"),
+                                           v.alias("value")))),
             ).otherwise(base).alias("annotations"),
         )
         staging = catalog.staging_dir(gen, "docs_annotate")
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").partitionBy("doc_block").parquet(staging)
-        # atomic per-partition swap: only the affected block dirs move
+        # per-partition swap, crash-safe (ADVICE r2): the old block dir
+        # is MOVED aside (one rename), never deleted before its
+        # replacement lands — a crash mid-swap leaves either the old or
+        # the new data in place plus a recoverable *_old copy, never a
+        # hole. The aside dir lives under _staging (outside docs_path)
+        # so partition discovery never sees it.
+        old_root = catalog.staging_dir(gen, "docs_annotate_old")
+        shutil.rmtree(old_root, ignore_errors=True)
+        os.makedirs(old_root, exist_ok=True)
         for blk in affected:
             src = os.path.join(staging, f"doc_block={blk}")
             dst = os.path.join(docs_path, f"doc_block={blk}")
             if os.path.exists(dst):
-                shutil.rmtree(dst)
+                os.rename(dst, os.path.join(old_root, f"doc_block={blk}"))
             os.rename(src, dst)
+        shutil.rmtree(old_root, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
     return n_updated
 

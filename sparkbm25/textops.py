@@ -234,14 +234,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, max_bucket: int = 1024) -> DataFrame:
     """SimHash near-dup pairs within the requested Hamming radius.
 
     Banding uses max_hamming + 1 bands, so by pigeonhole ANY pair with
     hamming <= max_hamming shares at least one full band — the blocking
     is lossless for the requested radius (round-1 shipped fixed 4 bands,
     silently losing distance-4..6 pairs; fixed per VERDICT item 6).
-    Exact popcount filter after the banded join."""
+    Exact popcount filter after the banded join.
+
+    Band keys are only 64/(max_hamming+1) ≈ 13-16 bits wide, so at
+    web scale every bucket is hot: boilerplate corpora put ~N/2^16 docs
+    in one key and the self-join goes quadratic (round-2 VERDICT item
+    1). Buckets over `max_bucket` members are DROPPED before the join —
+    the identical guard as minhash_lsh_pairs / cosine_dup_pairs — so
+    candidates stay O(N·max_bucket·bands). Recall trade: a pair whose
+    every shared band is oversized is missed; such docs are
+    boilerplate-duplicates better caught by exact dedup first.
+    max_bucket <= 0 disables the cap (exact small-scale mode)."""
     nb = max_hamming + 1
     width = 64 // nb
     s = simhash64(docs, id_col, text_col)
@@ -255,8 +265,22 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         )
     cands = None
     for i in range(nb):
-        l = s.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"), f"band{i}")
-        rgt = s.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"), f"band{i}")
+        src = s
+        if max_bucket and max_bucket > 0:
+            # bucket-size gate as a WINDOW count (one shuffle on the
+            # same band key the join needs anyway). NOT an agg +
+            # semi-join: that would re-reference the giant simhash64
+            # expression a third time per band and blow up Catalyst
+            # planning (the simhash tree is 64 bit-vote aggregates).
+            from pyspark.sql import Window as W
+
+            src = (
+                s.withColumn(
+                    "_n", F.count(F.lit(1)).over(W.partitionBy(f"band{i}")))
+                .where(F.col("_n") <= max_bucket).drop("_n")
+            )
+        l = src.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"), f"band{i}")
+        rgt = src.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"), f"band{i}")
         c = l.join(rgt, f"band{i}").where(F.col("id1") < F.col("id2")).select(
             "id1", "id2", "h1", "h2")
         cands = c if cands is None else cands.unionByName(c)

@@ -144,3 +144,37 @@ def test_translate_into_index_partial_resume(spark, tmp_path):
     import re
     expect = " ".join(w[::-1] for w in re.findall("[a-z0-9]+", row.text.lower()))
     assert val == expect
+
+
+def test_annotate_duplicate_update_keys_no_row_multiplication(spark, tmp_path):
+    """Round-2 ADVICE: duplicate (conv_id, turn_idx) rows in a
+    caller-supplied updates frame multiplied forward-table rows via the
+    left join, permanently corrupting the docs table. Updates now
+    pre-aggregate per key: ALL values append (sorted), row count stays
+    fixed."""
+    from pyspark.sql import functions as F
+
+    from sparkbm25.annotate import annotate_docs, read_annotations
+    from sparkbm25.build import build_index
+    from sparkbm25.catalog import read_docs
+    from sparkbm25.fixtures import make_transcripts
+
+    t = make_transcripts(100, seed=41)
+    d = str(tmp_path / "dupidx")
+    build_index(spark, spark.createDataFrame(t), d,
+                IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                            n_build_chunks=1), input_desc="dup100")
+    n_docs_before = read_docs(spark, d).count()
+    key = t.sort_values(["conv_id", "turn_idx"]).iloc[0]
+    upd = spark.createDataFrame(
+        [(key.conv_id, int(key.turn_idx), "b"),
+         (key.conv_id, int(key.turn_idx), "a"),
+         (key.conv_id, int(key.turn_idx), "a")],
+        "conv_id string, turn_idx int, value string")
+    n = annotate_docs(spark, d, upd, "multi")
+    assert n == 1                      # one doc matched
+    docs_after = read_docs(spark, d)
+    assert docs_after.count() == n_docs_before            # no multiplication
+    assert docs_after.groupBy("doc_ord").count().where("count > 1").count() == 0
+    got = read_annotations(spark, d).where("name = 'multi'").toPandas()
+    assert sorted(got["value"]) == ["a", "a", "b"]        # all values kept

@@ -106,3 +106,26 @@ def test_minhash_no_cartesian(spark):
         rows, "doc_id bigint, text string")
     pairs = textops.minhash_lsh_pairs(sdf, bands=4, n_hashes=12)
     assert pairs.count() < 200 * 10  # far below 200*199/2
+
+
+def test_simhash_bucket_cap_defuses_boilerplate(spark):
+    """Round-2 VERDICT item 1: simhash bands are only ~13-16 bits wide,
+    so a boilerplate corpus floods one band key and the self-join goes
+    quadratic. Buckets over max_bucket drop before pairing — same
+    guard as minhash_lsh_pairs. Near-dups outside the hot bucket are
+    still found."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler) for i in range(300)]          # one hot simhash
+    rows += [(1000, "spark shuffles data across the executors tonight"),
+             (1001, "spark shuffles data across the executors tonight"),
+             (1002, "a completely unrelated sentence about gardening tools")]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = textops.simhash_pairs(sdf, max_hamming=3, max_bucket=64).toPandas()
+    # uncapped, the boilerplate bucket alone is 300*299/2 = 44850 pairs
+    boiler_pairs = pairs[(pairs.id1 < 1000) & (pairs.id2 < 1000)]
+    assert len(boiler_pairs) == 0
+    got = set(map(tuple, pairs[["id1", "id2"]].values.tolist()))
+    assert (1000, 1001) in got       # dup outside the hot bucket survives
+    # cap disabled: the quadratic (but exact) small-scale mode returns
+    pairs_all = textops.simhash_pairs(sdf, max_hamming=3, max_bucket=0)
+    assert pairs_all.where("id1 < 1000 and id2 < 1000").count() == 300 * 299 / 2
