@@ -40,11 +40,15 @@ def cmd_build(args) -> int:
     from sparkbm25.config import IndexConfig
 
     spark = _spark(args.master, "sparkbm25-build")
+    from sparkbm25.config import parse_size
+
     cfg = IndexConfig(
         n_term_buckets=args.term_buckets,
         n_salt_buckets=args.salt_buckets,
         n_build_chunks=args.chunks,
         checkpoint_runs=not args.no_checkpoint,
+        max_content_length=(parse_size(args.max_content_length)
+                            if args.max_content_length else 0),
     )
     df = spark.read.parquet(args.input)
     if args.dry_run:
@@ -86,6 +90,39 @@ def cmd_search(args) -> int:
     for row in out.itertuples(index=False):
         print(f"{row.rank:4d}  {row.score:12.6f}  {row.conv_id}:{row.turn_idx}")
     print(f"# {len(out)} hits in {elapsed:.3f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_translate(args) -> int:
+    """The reference's flagship command (es_translator/cli.py:113-224):
+    translate every turn not yet carrying this interpreter's annotation
+    and write the results back into the forward table. --force
+    reprocesses everything (skips the is_translated gate); --dry-run
+    prints the pending count and writes nothing (S6)."""
+    from pyspark.sql import functions as F
+
+    from sparkbm25.config import parse_size
+    from sparkbm25.translate import (get_interpreter, pending_turns,
+                                     translate_into_index)
+
+    interp_cls = get_interpreter(args.interpreter)
+    interp = interp_cls()
+    spark = _spark(args.master, "sparkbm25-translate")
+    df = spark.read.parquet(args.input)
+    if args.max_content_length:
+        # the reference truncates content before translating
+        # (es_translator/es.py:120-121)
+        df = df.withColumn(
+            "text", F.substring("text", 1, parse_size(args.max_content_length)))
+    resume = not args.force
+    if args.dry_run:
+        n = pending_turns(spark, args.index, df, interp, resume=resume).count()
+        print(json.dumps({"dry_run": True, "pending": n,
+                          "interpreter": interp.name, "resume": resume}))
+        return 0
+    n = translate_into_index(spark, args.index, df, interp, resume=resume)
+    print(json.dumps({"translated": n, "interpreter": interp.name,
+                      "resume": resume}))
     return 0
 
 
@@ -140,8 +177,30 @@ def main(argv=None) -> int:
     pb.add_argument("--dry-run", action="store_true",
                     help="validate + count the input and print the build "
                          "plan; write nothing (S6)")
+    pb.add_argument("--max-content-length", default=None, metavar="N[K|M|G]",
+                    help="truncate text to this many chars before "
+                         "tokenizing (C4; e.g. 100K)")
     pb.add_argument("--master", default=None)
     pb.set_defaults(fn=cmd_build)
+
+    pt = sub.add_parser(
+        "translate",
+        help="translate untranslated turns and write back (the "
+             "reference's flagship job)")
+    pt.add_argument("--index", required=True)
+    pt.add_argument("--input", required=True,
+                    help="transcripts parquet (conv_id, turn_idx, text, ...)")
+    pt.add_argument("--interpreter", default="rev",
+                    help="registered interpreter name (rev|apertium|argos)")
+    pt.add_argument("--force", action="store_true",
+                    help="reprocess already-translated turns (skip the "
+                         "is_translated resume gate)")
+    pt.add_argument("--dry-run", action="store_true",
+                    help="print the pending-turn count; write nothing")
+    pt.add_argument("--max-content-length", default=None, metavar="N[K|M|G]",
+                    help="truncate text before translating (e.g. 100K)")
+    pt.add_argument("--master", default=None)
+    pt.set_defaults(fn=cmd_translate)
 
     ps = sub.add_parser("search", help="BM25 top-k query")
     ps.add_argument("--index", required=True)

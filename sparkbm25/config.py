@@ -112,3 +112,19 @@ class IndexConfig:
     @staticmethod
     def from_json(s: str) -> "IndexConfig":
         return IndexConfig(**json.loads(s))
+
+
+def parse_size(value: str) -> int:
+    """'100' | '10K' | '5M' | '2G' -> integer chars (SURVEY C4; the
+    reference's validate_max_content_length grammar,
+    es_translator/cli.py:85-111: a number with an optional K/M/G
+    binary-unit suffix)."""
+    import re
+
+    m = re.match(r"^([0-9]+)([KMG]?)$", (value or "").strip().upper())
+    if not m:
+        raise ValueError(
+            "max content length should be a number optionally "
+            "followed by K or M or G")
+    return int(m.group(1)) * {
+        "": 1, "K": 1024, "M": 1024 ** 2, "G": 1024 ** 3}[m.group(2)]

@@ -1637,6 +1637,100 @@ GROUP BY n_name
 """
 
 
+def q_bm25_neg_filter(spark, sf_dir):
+    """Pure-negative text under a structured predicate ('role:en AND
+    NOT spark' — ES/Lucene returns the filtered docs NOT containing
+    the term). Round-2 returned empty (ADVICE high): docs matching
+    nothing had no posting rows. Candidates now come from the forward
+    table with a posting anti-join; constant score 1.0
+    (filter-context), deterministic doc order."""
+    return _bm25_query_df(spark, sf_dir, "role:en AND NOT spark")
+
+
+SQL_BM25_NEG_FILTER = f"""
+WITH {TOKS_CTE}
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank,
+       CAST(1000000 AS BIGINT) AS score_micro
+FROM documents
+WHERE lang = 'en'
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'spark')
+ORDER BY doc_id ASC LIMIT {TOPK}
+"""
+
+
+def q_lang_alpha_map(spark, sf_dir):
+    """P5: ISO-639 code normalization (ref es_translator/alpha.py:12-80
+    via pycountry; here a static literal-map column transform — the
+    whole conversion folds into the projection, shuffle-free)."""
+    from sparkbm25 import alpha
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        alpha.alpha3_col("lang").alias("lang3"),
+        alpha.name_col("lang").alias("lang_name"))
+
+
+def _sql_lang_alpha_map() -> str:
+    from sparkbm25 import alpha
+
+    return f"""
+SELECT doc_id, lang,
+       {alpha.case_sql('lang', 'alpha3')} AS lang3,
+       {alpha.case_sql('lang', 'name')} AS lang_name
+FROM documents
+"""
+
+
+SQL_LANG_ALPHA_MAP = _sql_lang_alpha_map()
+
+
+_TRUNC_CACHE: dict[str, str] = {}
+TRUNC_LEN = 120
+
+
+def q_truncate_build(spark, sf_dir):
+    """C4/P3: an index built with max_content_length (the CLI's
+    --max-content-length N[K|M|G]) must carry the corpus stats of the
+    PRE-TRUNCATED text — n_docs unchanged, sum of doc lengths equal to
+    tokenizing the first TRUNC_LEN chars. Integer outputs, so the
+    check is exact."""
+    from sparkbm25 import catalog
+    from sparkbm25.build import build_index
+    from sparkbm25.config import IndexConfig
+
+    key = os.path.abspath(sf_dir)
+    if key not in _TRUNC_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            "sparkbm25_trunc_" + key.strip("/").replace("/", "_"))
+        cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                          n_build_chunks=1, checkpoint_runs=False,
+                          max_content_length=TRUNC_LEN)
+        build_index(spark, docs_as_transcripts(spark, sf_dir), index_dir,
+                    cfg, input_desc=key + "_trunc")
+        _TRUNC_CACHE[key] = index_dir
+    stats = catalog.global_stats(_TRUNC_CACHE[key])
+    return spark.createDataFrame(
+        [(int(stats["n_docs"]), int(stats["sum_dl"]))],
+        "n_docs bigint, sum_dl bigint")
+
+
+SQL_TRUNCATE_BUILD = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(substr(text, 1, {TRUNC_LEN})),
+                                        '[^a-z0-9]+')) AS term
+    FROM documents
+), toks2 AS (
+    SELECT doc_id, term FROM toks WHERE term <> ''
+), dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS sum_dl
+FROM documents LEFT JOIN dl USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1659,6 +1753,9 @@ QUERIES = {
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
+    "bm25_neg_filter": (q_bm25_neg_filter, SQL_BM25_NEG_FILTER),
+    "lang_alpha_map": (q_lang_alpha_map, SQL_LANG_ALPHA_MAP),
+    "truncate_build": (q_truncate_build, SQL_TRUNCATE_BUILD),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),
     "bm25_compacted": (q_bm25_compacted, SQL_BM25_TOPK),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),

@@ -54,6 +54,71 @@ class ReverseTokenInterpreter:
         return toks.map(lambda ts: " ".join(t[::-1] for t in ts))
 
 
+class ApertiumInterpreter:
+    """Registry slot for the reference's Apertium backend
+    (es_translator/interpreters/apertium.py). The apertium runtime is
+    not installed in this environment; constructing the class says so
+    explicitly instead of failing mid-job. A real deployment replaces
+    __init__ with the model load and translate_batch with the
+    subprocess/pipe call — the Spark plan (mapInPandas, once-per-task
+    init) is unchanged."""
+
+    name = "apertium"
+
+    def __init__(self) -> None:
+        raise NotImplementedError(
+            "the apertium runtime is not available in this environment; "
+            "use --interpreter rev or register a backend via "
+            "register_interpreter()")
+
+    def translate_batch(self, texts: pd.Series) -> pd.Series:  # pragma: no cover
+        raise NotImplementedError
+
+
+class ArgosInterpreter:
+    """Registry slot for the reference's Argos backend
+    (es_translator/interpreters/argos.py); same contract as
+    ApertiumInterpreter."""
+
+    name = "argos"
+
+    def __init__(self) -> None:
+        raise NotImplementedError(
+            "argos-translate is not available in this environment; "
+            "use --interpreter rev or register a backend via "
+            "register_interpreter()")
+
+    def translate_batch(self, texts: pd.Series) -> pd.Series:  # pragma: no cover
+        raise NotImplementedError
+
+
+# name -> class registry (the reference validates --interpreter against
+# its (Apertium, Argos) tuple, es_translator/cli.py:60-83; ours is
+# open for extension)
+INTERPRETERS: dict[str, type] = {
+    ReverseTokenInterpreter.name: ReverseTokenInterpreter,
+    ApertiumInterpreter.name: ApertiumInterpreter,
+    ArgosInterpreter.name: ArgosInterpreter,
+}
+
+
+def register_interpreter(cls: type) -> type:
+    """Register an interpreter class under its `name` attribute."""
+    INTERPRETERS[cls.name.lower()] = cls
+    return cls
+
+
+def get_interpreter(name: str) -> type:
+    """name -> class, with the reference's validation error shape
+    (es_translator/cli.py:81-83)."""
+    try:
+        return INTERPRETERS[name.lower()]
+    except KeyError:
+        raise ValueError(
+            "must be a valid interpreter name "
+            f"({', '.join(sorted(INTERPRETERS))})") from None
+
+
 def translate_turns(
     transcripts: DataFrame,
     interpreter: Interpreter,
@@ -95,15 +160,29 @@ def translate_into_index(
     re-running after a crash (or on a grown corpus) only processes the
     remainder — byte-identical semantics to the reference's skip
     predicate (es_translator.py:168-178)."""
-    pending = transcripts
-    if resume:
-        done = (
-            read_annotations(spark, index_dir)
-            .where(F.col("name") == interpreter.name)
-            .select("conv_id", "turn_idx")
-        )
-        pending = transcripts.join(done, ["conv_id", "turn_idx"], "left_anti")
+    pending = pending_turns(spark, index_dir, transcripts, interpreter,
+                            resume=resume)
     translated = translate_turns(pending, interpreter)
     updates = translated.select(
         "conv_id", "turn_idx", F.col("translation").alias("value"))
     return annotate_docs(spark, index_dir, updates, interpreter.name)
+
+
+def pending_turns(
+    spark: SparkSession,
+    index_dir: str,
+    transcripts: DataFrame,
+    interpreter: Interpreter,
+    resume: bool = True,
+) -> DataFrame:
+    """The turns a translate run would process (the is_translated
+    anti-join) — shared by the job and the CLI's --dry-run, so the
+    dry-run count IS the real plan's count."""
+    if not resume:
+        return transcripts
+    done = (
+        read_annotations(spark, index_dir)
+        .where(F.col("name") == interpreter.name)
+        .select("conv_id", "turn_idx")
+    )
+    return transcripts.join(done, ["conv_id", "turn_idx"], "left_anti")

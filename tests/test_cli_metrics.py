@@ -67,3 +67,91 @@ def test_cli_dry_run_writes_nothing(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["dry_run"] is True and out["n_docs"] == 300
     assert not os.path.exists(idx)  # S6: nothing written
+
+
+def test_parse_size_suffixes():
+    from sparkbm25.config import parse_size
+
+    assert parse_size("100") == 100
+    assert parse_size("10K") == 10 * 1024
+    assert parse_size("5M") == 5 * 1024 ** 2
+    assert parse_size("2G") == 2 * 1024 ** 3
+    assert parse_size("2g") == 2 * 1024 ** 3
+    for bad in ("", "K", "10KB", "-5", "1.5M"):
+        with pytest.raises(ValueError, match="K or M or G"):
+            parse_size(bad)
+
+
+def test_alpha_code_map():
+    from sparkbm25 import alpha
+
+    assert alpha.to_alpha_3("fr") == "fra"
+    assert alpha.to_alpha_2("eng") == "en"
+    assert alpha.to_name("de") == "German"
+    assert alpha.to_alpha_3_pair("fr-en") == "fra-eng"
+    with pytest.raises(alpha.InvalidLanguageCode):
+        alpha.to_alpha_3("xx")
+    with pytest.raises(alpha.InvalidLanguageCode):
+        alpha.to_alpha_2("zzz")
+
+
+def test_cli_translate_plan_execute_resume(spark, tmp_path, capsys):
+    """VERDICT r2 item 5: the reference's flagship command as a CLI —
+    dry-run plan, execute, then re-execute is a no-op (is_translated
+    resume); --force reprocesses."""
+    src = str(tmp_path / "tsrc")
+    spark.createDataFrame(make_transcripts(120)).write.parquet(src)
+    idx = str(tmp_path / "tidx")
+    assert cli.main(["build", "--input", src, "--index", idx,
+                     "--term-buckets", "4", "--salt-buckets", "2",
+                     "--chunks", "1"]) == 0
+    capsys.readouterr()
+    # plan: 120 pending, nothing written
+    assert cli.main(["translate", "--index", idx, "--input", src,
+                     "--interpreter", "rev", "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"dry_run": True, "pending": 120,
+                   "interpreter": "rev", "resume": True}
+    # execute
+    assert cli.main(["translate", "--index", idx, "--input", src]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["translated"] == 120
+    # re-execute: resume gate makes it a no-op
+    assert cli.main(["translate", "--index", idx, "--input", src]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["translated"] == 0
+    # --force reprocesses everything
+    assert cli.main(["translate", "--index", idx, "--input", src,
+                     "--force"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["translated"] == 120
+
+
+def test_cli_translate_unknown_interpreter(spark, tmp_path):
+    with pytest.raises(ValueError, match="valid interpreter name"):
+        cli.main(["translate", "--index", "/nonexistent", "--input",
+                  "/nonexistent", "--interpreter", "nope"])
+
+
+def test_cli_build_max_content_length(spark, tmp_path, capsys):
+    """C4: --max-content-length with unit suffix truncates text before
+    tokenizing — doc lengths shrink accordingly."""
+    import pandas as pd
+
+    from sparkbm25 import Searcher
+
+    t = make_transcripts(80, seed=7)
+    src = str(tmp_path / "msrc")
+    spark.createDataFrame(t).write.parquet(src)
+    idx = str(tmp_path / "midx")
+    assert cli.main(["build", "--input", src, "--index", idx,
+                     "--term-buckets", "4", "--salt-buckets", "2",
+                     "--chunks", "1", "--max-content-length", "30"]) == 0
+    capsys.readouterr()
+    s = Searcher(spark, idx)
+    import re
+
+    exp_avgdl = sum(
+        len(re.findall("[a-z0-9]+", txt[:30].lower()))
+        for txt in t["text"]) / len(t)
+    assert abs(s.avgdl - exp_avgdl) < 1e-9
