@@ -115,18 +115,31 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
     )
 
     transcripts = spark.read.parquet(input_path)
-    # best of 2 builds: the sandbox host's wall clock varies >2x
-    # run-to-run under outside interference; the minimum is the least
-    # contaminated sample of the job's true cost
-    build_times = []
-    for _rep in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
-        import shutil
+    # contamination-hardened repetitions (round-2 lesson: a recorded
+    # 16.6k headline hid a real 114.5k because BOTH reps ran under
+    # outside host load). Keep adding reps — bounded — until the two
+    # fastest agree within 20%; report the agreement ratio and the
+    # 1-min loadavg per rep so a contaminated record is visible as
+    # such. The minimum of agreeing reps is the least contaminated
+    # sample of the job's true cost.
+    import shutil
 
+    min_reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")), 2)
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_MAX", "5"))
+    build_times: list[float] = []
+    loads: list[float] = []
+    for rep in range(max_reps):
         shutil.rmtree(index_dir, ignore_errors=True)
+        loads.append(round(os.getloadavg()[0], 1))
         t0 = time.time()
         res = build_index(spark, transcripts, index_dir, cfg,
                           input_desc=f"bench_{n_turns}")
         build_times.append(time.time() - t0)
+        if rep + 1 >= min_reps:
+            best2 = sorted(build_times)[:2]
+            if best2[1] <= best2[0] * 1.2:
+                break
+    best2 = sorted(build_times)[:2]
     build_secs = min(build_times)
     turns_per_sec = n_turns / build_secs
 
@@ -158,6 +171,12 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         "n_turns": n_turns,
         "build_seconds": round(build_secs, 2),
         "all_build_seconds": [round(t, 2) for t in build_times],
+        # two-fastest-reps agreement ratio: >1.2 means the bound of 5
+        # reps ran out before two agreed — treat the headline as
+        # host-load contaminated
+        "rep_agreement": round(best2[1] / best2[0], 3) if len(best2) == 2 else 1.0,
+        "contaminated": bool(len(best2) == 2 and best2[1] > best2[0] * 1.2),
+        "load_avg_per_rep": loads,
         "cpus": cpus,
     }
     # surface the recorded N-vs-4N scaling evidence (BENCH/scaling_run.py,

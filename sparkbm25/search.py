@@ -703,54 +703,62 @@ class Searcher:
                            mode=mode).toPandas()
         return out[["rank", "conv_id", "turn_idx", "score"]].reset_index(drop=True)
 
+    def _gen_union(self, terms: list[str], cols: list) -> "DataFrame":
+        """Pruned segment rows of ALL generations as ONE DataFrame
+        (each generation is its own parquet root, so per-gen reads
+        union with a literal generation index). One Spark job instead
+        of one per generation (round-2 paid 2×G jobs per interactive
+        query, VERDICT item 5)."""
+        buckets = sorted({self.cfg.term_bucket_of(t) for t in terms})
+        out = None
+        for gi, gen in enumerate(self.gens):
+            part = (
+                self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
+                .where(F.col("term_bucket").isin(buckets))
+                .where(F.col("term").isin(terms))
+                .select(F.lit(gi).alias("_g"), *cols)
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def _probe_dfs(self, terms: list[str]) -> dict[str, int]:
         """df per query term from a column-pruned segment scan: only
         (term, n_docs) are read — parquet column pruning means the
         blocks bytes never move — so the probe is O(segment rows of
         the query's buckets), not O(postings)."""
-        buckets = sorted({self.cfg.term_bucket_of(t) for t in terms})
-        dfs: dict[str, int] = {}
-        for gen in self.gens:
-            rows = (
-                self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
-                .where(F.col("term_bucket").isin(buckets))
-                .where(F.col("term").isin(terms))
-                .groupBy("term").agg(F.sum("n_docs").alias("df"))
-                .collect()
-            )
-            for r in rows:
-                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
-        return dfs
+        rows = (
+            self._gen_union(terms, ["term", "n_docs"])
+            .groupBy("term").agg(F.sum("n_docs").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
 
     def _fetch_postings(self, terms: list[str]) -> tuple[dict[str, list], dict[str, int]]:
-        """ONE partition-pruned, predicate-pushed scan returns both the
-        compressed block lists and df per term (sum of per-salt
-        n_docs). Routing is the client-side term-bucket hash — the
-        analog of ES routing a query to the right shard — so no
-        dictionary round-trip precedes the postings fetch."""
-        buckets = sorted({self.cfg.term_bucket_of(t) for t in terms})
+        """ONE partition-pruned, predicate-pushed scan (across all
+        generations) returns both the compressed block lists and df per
+        term (sum of per-salt n_docs). Routing is the client-side
+        term-bucket hash — the analog of ES routing a query to the
+        right shard — so no dictionary round-trip precedes the
+        postings fetch."""
+        # block-max metadata was encoded with each generation's avgdl;
+        # inflate by max(1, avgdl_global/avgdl_gen) so the stored upper
+        # bound stays sound under the global stats
+        inflates = []
+        for gen in self.gens:
+            gen_avgdl = float(gen["avgdl"]) or self.avgdl
+            inflates.append(
+                max(1.0, self.avgdl / gen_avgdl) if gen_avgdl else 1.0)
         post: dict[str, list] = {}
         dfs: dict[str, int] = {}
-        for gen in self.gens:
-            # block-max metadata was encoded with this generation's
-            # avgdl; inflate by max(1, avgdl_global/avgdl_gen) so the
-            # stored upper bound stays sound under the global stats
-            gen_avgdl = float(gen["avgdl"]) or self.avgdl
-            inflate = max(1.0, self.avgdl / gen_avgdl) if gen_avgdl else 1.0
-            rows = (
-                self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
-                .where(F.col("term_bucket").isin(buckets))
-                .where(F.col("term").isin(terms))
-                .select("term", "n_docs", "blocks")
-                .collect()
-            )
-            for r in rows:
-                blks = [blk.asDict() for blk in r["blocks"]]
-                if inflate != 1.0:
-                    for blk in blks:
-                        blk["max_impact"] = min(1.0, blk["max_impact"] * inflate)
-                post.setdefault(r["term"], []).extend(blks)
-                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
+        rows = self._gen_union(terms, ["term", "n_docs", "blocks"]).collect()
+        for r in rows:
+            inflate = inflates[r["_g"]]
+            blks = [blk.asDict() for blk in r["blocks"]]
+            if inflate != 1.0:
+                for blk in blks:
+                    blk["max_impact"] = min(1.0, blk["max_impact"] * inflate)
+            post.setdefault(r["term"], []).extend(blks)
+            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
         return post, dfs
 
     def search(self, query_text: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
