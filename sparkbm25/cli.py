@@ -154,10 +154,19 @@ def cmd_compact(args) -> int:
 
 
 def cmd_monitor(args) -> int:
+    """One-shot by default; --watch N re-polls the manifest every N
+    seconds (the reference's live monitor refreshes every 2s under a
+    TUI, es_translator/monitor.py:377-398 — the TUI itself is out of
+    scope per SURVEY, the re-poll loop is the X6 analog)."""
     from sparkbm25.metrics import build_summary
 
-    print(json.dumps(build_summary(args.index), indent=2, default=str))
-    return 0
+    polls = 0
+    while True:
+        print(json.dumps(build_summary(args.index), indent=2, default=str))
+        polls += 1
+        if not args.watch or (args.max_polls and polls >= args.max_polls):
+            return 0
+        time.sleep(args.watch)
 
 
 def main(argv=None) -> int:
@@ -229,6 +238,10 @@ def main(argv=None) -> int:
 
     pm = sub.add_parser("monitor", help="build metrics from the manifest")
     pm.add_argument("--index", required=True)
+    pm.add_argument("--watch", type=int, default=0, metavar="SECONDS",
+                    help="re-poll every N seconds (0 = print once)")
+    pm.add_argument("--max-polls", type=int, default=0,
+                    help="stop after this many polls (0 = until killed)")
     pm.set_defaults(fn=cmd_monitor)
 
     args = p.parse_args(argv)

@@ -155,3 +155,16 @@ def test_cli_build_max_content_length(spark, tmp_path, capsys):
         len(re.findall("[a-z0-9]+", txt[:30].lower()))
         for txt in t["text"]) / len(t)
     assert abs(s.avgdl - exp_avgdl) < 1e-9
+
+
+def test_cli_monitor_watch(built, capsys):
+    """--watch re-polls the manifest (X6 live-monitor analog)."""
+    import time as _time
+
+    t0 = _time.time()
+    rc = cli.main(["monitor", "--index", built, "--watch", "1",
+                   "--max-polls", "2"])
+    assert rc == 0
+    assert _time.time() - t0 >= 1.0          # slept between polls
+    out = capsys.readouterr().out
+    assert out.count('"n_turns": 1000') == 2  # two poll outputs
