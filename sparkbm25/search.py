@@ -274,19 +274,33 @@ def search_batch(
                "weight double, is_phrase boolean, n_terms int, k int",
     )
 
-    w_term = Window.partitionBy("term")
-    segs = (
+    pruned_segs = (
         _read_segments(spark, index_dir)
         .where(F.col("term_bucket").isin(buckets))     # partition pruning
         .where(F.col("term").isin(uniq_terms))         # rowgroup pushdown
-        .select("term", "n_docs", "blocks")
-        .withColumn("df", F.sum("n_docs").over(w_term))
+    )
+    # df per term as a NARROW aggregate broadcast back to the scan —
+    # NOT a Window.partitionBy(term) over the segment rows: the window
+    # would shuffle the blocks payload itself through an exchange
+    # (round-2 did; at 960k turns that one exchange made a 1-query
+    # batch cost the same ~7s as a 10-query batch). The agg subplan
+    # reads only (term, n_docs) — parquet column pruning keeps the
+    # blocks bytes out — and the blocks column now flows scan →
+    # broadcast-join → decode with no shuffle at all.
+    dfs = (
+        pruned_segs.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"))
         .withColumn(
             "idf",
             F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
+        .select("term", "idf")
     )
-    hits = segs.join(F.broadcast(qdf), "term")
+    hits = (
+        pruned_segs.select("term", "blocks")
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfs), "term")
+    )
 
     k1, b = cfg.k1, cfg.b
 
