@@ -1659,6 +1659,44 @@ ORDER BY doc_id ASC LIMIT {TOPK}
 """
 
 
+def q_bm25_prefix(spark, sf_dir):
+    """Lucene prefix query 's*': expands against the term dictionary
+    (scan/slow/small/sort/spark/stream in this corpus) and scores each
+    doc as the BM25 sum over its matched expansions (scoring_boolean
+    rewrite). The SQL twin selects terms with LIKE."""
+    return _bm25_query_df(spark, sf_dir, "s*")
+
+
+SQL_BM25_PREFIX = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE term LIKE 's%' GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_lang_alpha_map(spark, sf_dir):
     """P5: ISO-639 code normalization (ref es_translator/alpha.py:12-80
     via pycountry; here a static literal-map column transform — the
@@ -1754,6 +1792,7 @@ QUERIES = {
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
     "bm25_neg_filter": (q_bm25_neg_filter, SQL_BM25_NEG_FILTER),
+    "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "lang_alpha_map": (q_lang_alpha_map, SQL_LANG_ALPHA_MAP),
     "truncate_build": (q_truncate_build, SQL_TRUNCATE_BUILD),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),

@@ -8,7 +8,11 @@ The reference hands Lucene query-string syntax straight to ES
 reference user actually writes:
 
     field:value            equality   (fields: role, tool, conv_id)
-    field:prefix*          prefix match
+    field:prefix*          prefix match on a filter field
+    text*                  full-text prefix query — expands against the
+                           term dictionary (Lucene scoring_boolean
+                           rewrite: each expansion scores with its own
+                           BM25; bounded by max_expansions)
     NOT x      -x          negation           (NOT > AND > OR)
     a AND b                conjunction
     a OR b                 disjunction
@@ -63,6 +67,11 @@ class Phrase:
 
 
 @dataclass
+class Prefix:
+    prefix: str         # analyzed prefix of a `foo*` wildcard leaf
+
+
+@dataclass
 class Filter:
     fld: str
     value: str
@@ -83,7 +92,9 @@ class Or:
     children: list["Node"]
 
 
-Node = Term | Phrase | Filter | Not | And | Or
+Node = Term | Phrase | Prefix | Filter | Not | And | Or
+
+_PREFIX_RE = re.compile(r"^([^\s*]+)\*$")
 
 
 @dataclass
@@ -189,6 +200,15 @@ class _Parser:
         m = _FIELD_RE.match(t)
         if m and m.group(1).lower() in FILTER_FIELDS:
             return Filter(m.group(1).lower(), m.group(2))
+        pm = _PREFIX_RE.match(t)
+        if pm:
+            # `spar*` — Lucene prefix query: expands against the term
+            # dictionary at execution time (scoring_boolean rewrite).
+            # The prefix itself must analyze to ONE term.
+            ptoks = _analyze(pm.group(1), self.token_pattern)
+            if len(ptoks) == 1:
+                self.explicit = True
+                return Prefix(ptoks[0])
         terms = _analyze(t, self.token_pattern)
         if len(terms) == 1:
             return Term(terms[0])
@@ -246,14 +266,14 @@ def _reject_nested_filters(node: Node) -> None:
 
 
 def collect_leaves(node: Node | None):
-    """Positive and negative Term/Phrase leaves of the tree in stable
-    left-to-right order. A leaf under an odd number of NOTs is
+    """Positive and negative Term/Phrase/Prefix leaves of the tree in
+    stable left-to-right order. A leaf under an odd number of NOTs is
     negative (never scores)."""
-    pos: list[Term | Phrase] = []
-    negd: list[Term | Phrase] = []
+    pos: list[Term | Phrase | Prefix] = []
+    negd: list[Term | Phrase | Prefix] = []
 
     def walk(n: Node, neg: bool):
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, (Term, Phrase, Prefix)):
             (negd if neg else pos).append(n)
         elif isinstance(n, Not):
             walk(n.child, not neg)

@@ -103,7 +103,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
 
     def eval_empty(n) -> bool:
         """The boolean tree at the empty mask (no leaf matched)."""
-        if isinstance(n, (qs.Term, qs.Phrase)):
+        if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix)):
             return False
         if isinstance(n, qs.Not):
             return not eval_empty(n.child)
@@ -143,6 +143,12 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                 if isinstance(leaf, qs.Phrase):
                     terms = list(leaf.terms)
                     kind = "phrase"
+                elif isinstance(leaf, qs.Prefix):
+                    # placeholder: the execution layer expands against
+                    # the term dictionary (all expansions share this
+                    # leaf's slot — Lucene scoring_boolean rewrite)
+                    terms = [leaf.prefix]
+                    kind = "prefix"
                 else:
                     terms = [leaf.text]
                     kind = "term"
@@ -162,7 +168,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                     return m.bitwiseAND(F.lit(1 << s)) != 0
 
                 def walk(n, m):
-                    if isinstance(n, (qs.Term, qs.Phrase)):
+                    if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix)):
                         return bit(m, slot_map[id(n)])
                     if isinstance(n, qs.Not):
                         return ~walk(n.child, m)
@@ -187,6 +193,36 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
         plans.append(_QueryPlan(qid, k, parsed.filters, parsed.neg_filters,
                                 leaves, accept, accept_empty))
     return plans
+
+
+def _expand_prefixes(spark: SparkSession, index_dir: str,
+                     prefixes: list[str],
+                     max_expansions: int = 128) -> dict[str, list[str]]:
+    """Expand `foo*` leaves against the term dictionary (Lucene
+    multi-term rewrite). The scan reads the `term` column only —
+    parquet pruning keeps the blocks bytes out — and no bucket pruning
+    is possible (crc32 routing hashes whole terms), which matches
+    Lucene: prefix queries walk the term dict. Over max_expansions
+    matching terms raises (the too-many-clauses guard; at web scale an
+    unbounded one-letter prefix would OR thousands of posting lists)."""
+    cond = None
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    terms = [
+        r["term"]
+        for r in _read_segments(spark, index_dir)
+        .select("term").where(cond).distinct().collect()
+    ]
+    out: dict[str, list[str]] = {}
+    for p in prefixes:
+        matched = sorted(t for t in terms if t.startswith(p))
+        if len(matched) > max_expansions:
+            raise ValueError(
+                f"prefix '{p}*' expands to {len(matched)} terms "
+                f"(> max_expansions={max_expansions}); use a longer prefix")
+        out[p] = matched
+    return out
 
 
 def _plans_to_rows(plans: list[_QueryPlan]) -> pd.DataFrame:
@@ -224,6 +260,18 @@ def search_batch(
     position-verification stage over the positions stream."""
     n_docs, avgdl, cfg, _gens = _load_stats(index_dir)
     plans = _compile_queries(queries, cfg, mode, k)
+    # prefix leaves expand against the term dictionary before the
+    # posting join; every expansion shares its leaf's slot, so the
+    # boolean mask and the disjunction-sum score fall out of the
+    # existing machinery (scoring_boolean rewrite)
+    prefixes = sorted({l["terms"][0] for p in plans for l in p.leaves
+                       if l["kind"] == "prefix"})
+    if prefixes and n_docs > 0:
+        expansions = _expand_prefixes(spark, index_dir, prefixes)
+        for p in plans:
+            for l in p.leaves:
+                if l["kind"] == "prefix":
+                    l["terms"] = expansions.get(l["terms"][0], [])
     qp = _plans_to_rows(plans)
     empty = spark.createDataFrame(
         [], "query_id int, rank int, conv_id string, turn_idx int, score double")
@@ -425,10 +473,13 @@ def search_batch(
     else:
         leaf_rows = parts.select("query_id", "doc_ord", "slot", "score")
 
-    # doc-level rollup: BM25 sum + matched-leaf bitmask in ONE shuffle
+    # doc-level rollup: BM25 sum + matched-leaf bitmask in ONE shuffle.
+    # bit_or, NOT sum: a doc matching several expansions of one prefix
+    # leaf has multiple rows with the same slot, and summing 1<<slot
+    # would carry into other bits
     scored = leaf_rows.groupBy("query_id", "doc_ord").agg(
         F.sum("score").alias("score"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), slot)")).alias("mask"),
+        F.expr("bit_or(shiftleft(cast(1 as bigint), slot))").alias("mask"),
     )
 
     # pure-negative text + structured filter ('role:user AND NOT spam',

@@ -254,3 +254,43 @@ def test_negative_phrase_with_filter(spark, built):
         key for key, txt in texts.items()
         if roles[key] == "user" and phrase not in txt)[:25]
     assert [(r.conv_id, r.turn_idx) for r in got.itertuples()] == expect
+
+
+def test_prefix_query_equals_expanded_or(spark, built):
+    """`foo*` expands against the term dictionary and scores like the
+    explicit OR of its expansions (Lucene scoring_boolean rewrite)."""
+    import re as _re
+
+    t, d, texts = built
+    vocab = sorted({w for txt in texts.values()
+                    for w in _re.findall("[a-z0-9]+", txt)})
+    # find a 3+-char prefix with 2..20 expansions in this corpus
+    from collections import Counter
+
+    pref3 = Counter(w[:3] for w in vocab if len(w) > 3)
+    prefix = next(p for p, c in pref3.most_common() if 2 <= c <= 20)
+    expanded = [w for w in vocab if w.startswith(prefix)]
+    q = pd.DataFrame({"query_id": [0], "query_text": [f"{prefix}*"], "k": [20]})
+    got = search_batch(spark, d, q, k=20).toPandas().sort_values("rank")
+    q_or = pd.DataFrame({"query_id": [0],
+                         "query_text": [" OR ".join(expanded)], "k": [20]})
+    exp = search_batch(spark, d, q_or, k=20).toPandas().sort_values("rank")
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    np.testing.assert_allclose(got["score"].astype(float),
+                               exp["score"].astype(float), rtol=1e-9)
+    # and every hit really contains a term with the prefix
+    for r in got.itertuples():
+        assert any(w.startswith(prefix) for w in _words(texts, (r.conv_id, r.turn_idx)))
+
+
+def test_prefix_too_many_expansions_raises(spark, built):
+    _, d, _ = built
+    q = pd.DataFrame({"query_id": [0], "query_text": ["w*"], "k": [5]})
+    with pytest.raises(ValueError, match="max_expansions"):
+        search_batch(spark, d, q, k=5)
+
+
+def test_prefix_no_match_returns_empty(spark, built):
+    _, d, _ = built
+    q = pd.DataFrame({"query_id": [0], "query_text": ["zzzqqq*"], "k": [5]})
+    assert search_batch(spark, d, q, k=5).count() == 0
