@@ -1697,6 +1697,62 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+RANGE_LO, RANGE_HI = 100, 299
+
+
+def q_bm25_range_filter(spark, sf_dir):
+    """Lucene range predicate + full-text terms:
+    'conv_id:[lo TO hi] join' — the range restricts candidates via the
+    forward table (inclusive bounds, Lucene [] syntax); BM25 stats stay
+    index-wide. conv_id is the zero-padded doc_id, so string range ==
+    numeric BETWEEN."""
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    lo, hi = f"{RANGE_LO:012d}", f"{RANGE_HI:012d}"
+    queries = pd.DataFrame(
+        {"query_id": [0],
+         "query_text": [f"conv_id:[{lo} TO {hi}] join"],
+         "k": [TOPK]})
+    out = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
+SQL_BM25_RANGE_FILTER = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE term = 'join' GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+  WHERE doc_id BETWEEN {RANGE_LO} AND {RANGE_HI}
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_lang_alpha_map(spark, sf_dir):
     """P5: ISO-639 code normalization (ref es_translator/alpha.py:12-80
     via pycountry; here a static literal-map column transform — the
@@ -1793,6 +1849,7 @@ QUERIES = {
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
     "bm25_neg_filter": (q_bm25_neg_filter, SQL_BM25_NEG_FILTER),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
+    "bm25_range_filter": (q_bm25_range_filter, SQL_BM25_RANGE_FILTER),
     "lang_alpha_map": (q_lang_alpha_map, SQL_LANG_ALPHA_MAP),
     "truncate_build": (q_truncate_build, SQL_TRUNCATE_BUILD),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),

@@ -7,8 +7,11 @@ The reference hands Lucene query-string syntax straight to ES
 "type:Document AND language:FRENCH"). This parser covers the subset a
 reference user actually writes:
 
-    field:value            equality   (fields: role, tool, conv_id)
+    field:value            equality   (fields: role, tool, conv_id,
+                           turn_idx — numeric fields compare as ints)
     field:prefix*          prefix match on a filter field
+    field:[A TO B]         inclusive range, `*` = open bound
+                           (Lucene range syntax)
     text*                  full-text prefix query — expands against the
                            term dictionary (Lucene scoring_boolean
                            rewrite: each expansion scores with its own
@@ -46,9 +49,13 @@ from pyspark.sql import functions as F
 
 from sparkbm25.analysis import DEFAULT_TOKEN_PATTERN
 
-FILTER_FIELDS = {"role", "tool", "conv_id"}
+FILTER_FIELDS = {"role", "tool", "conv_id", "turn_idx"}
+NUMERIC_FILTER_FIELDS = {"turn_idx"}   # range/equality bounds cast to int
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
-_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+# the range alternative must precede the catch-all: `f:[a TO b]`
+# contains spaces inside the brackets
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+:\[[^\]]*\]|[^\s()]+')
+_RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +309,36 @@ def parse_query_string(q: str,
     )
 
 
+def _one_predicate(fld: str, val: str) -> Column:
+    """One structured predicate: equality, prefix (`val*`), or Lucene
+    inclusive range `[lo TO hi]` with `*` as an open bound
+    (docs/Lucene range syntax; numeric fields compare as ints, not
+    lexicographically)."""
+    col = F.col(fld)
+
+    def bound(v):
+        if fld in NUMERIC_FILTER_FIELDS:
+            try:
+                return F.lit(int(v))
+            except ValueError:
+                raise ValueError(
+                    f"field {fld!r} expects an integer, got {v!r}") from None
+        return F.lit(v)
+
+    m = _RANGE_RE.match(val)
+    if m:
+        lo, hi = m.group(1), m.group(2)
+        cond = F.lit(True)
+        if lo != "*":
+            cond = cond & (col >= bound(lo))
+        if hi != "*":
+            cond = cond & (col <= bound(hi))
+        return cond
+    if val.endswith("*"):
+        return col.startswith(val[:-1])
+    return col == bound(val)
+
+
 def filter_condition(filters: list[tuple[str, str]],
                      neg_filters: list[tuple[str, str]] = ()) -> Column:
     """AND of the structured predicates (negated ones excluded), as a
@@ -309,13 +346,7 @@ def filter_condition(filters: list[tuple[str, str]],
     turn_idx, role, tool)."""
     cond = F.lit(True)
     for fld, val in filters:
-        if val.endswith("*"):
-            cond = cond & F.col(fld).startswith(val[:-1])
-        else:
-            cond = cond & (F.col(fld) == val)
+        cond = cond & _one_predicate(fld, val)
     for fld, val in neg_filters:
-        if val.endswith("*"):
-            cond = cond & ~F.col(fld).startswith(val[:-1])
-        else:
-            cond = cond & ~(F.col(fld) == val)
+        cond = cond & ~_one_predicate(fld, val)
     return cond

@@ -294,3 +294,19 @@ def test_prefix_no_match_returns_empty(spark, built):
     _, d, _ = built
     q = pd.DataFrame({"query_id": [0], "query_text": ["zzzqqq*"], "k": [5]})
     assert search_batch(spark, d, q, k=5).count() == 0
+
+
+def test_range_filter_with_text(spark, built):
+    """'turn_idx:[0 TO 1] w' — the Lucene range predicate restricts
+    candidates; BM25 stats stay index-wide."""
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w = toks[2]
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f"turn_idx:[0 TO 1] {w}"],
+                      "k": [30]})
+    got = search_batch(spark, d, q, k=30).toPandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert r.turn_idx in (0, 1)
+        assert w in _words(texts, (r.conv_id, r.turn_idx))

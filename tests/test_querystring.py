@@ -151,3 +151,34 @@ def test_parser_fuzz_never_crashes_unbalanced_aside():
                     assert leaf.text == leaf.text.lower()
                 elif isinstance(leaf, Phrase):
                     assert all(t == t.lower() for t in leaf.terms)
+
+
+def test_range_filter_parsing():
+    from sparkbm25.querystring import parse_query_string
+
+    p = parse_query_string("role:user AND turn_idx:[1 TO 3] alpha")
+    assert ("role", "user") in p.filters
+    assert ("turn_idx", "[1 TO 3]") in p.filters
+    p2 = parse_query_string("NOT turn_idx:[2 TO *] alpha")
+    assert ("turn_idx", "[2 TO *]") in p2.neg_filters
+
+
+def test_range_filter_condition_numeric(spark):
+    from pyspark.sql import functions as F
+
+    from sparkbm25.querystring import filter_condition
+
+    df = spark.createDataFrame(
+        [(i, f"c{i:03d}", "user") for i in range(12)],
+        "turn_idx int, conv_id string, role string")
+    got = df.where(filter_condition([("turn_idx", "[2 TO 10]")])).count()
+    assert got == 9                       # inclusive, numeric (not lexicographic)
+    got = df.where(filter_condition([("turn_idx", "[* TO 3]")])).count()
+    assert got == 4
+    got = df.where(filter_condition(
+        [("conv_id", "[c003 TO c005]")], [("turn_idx", "4")])).count()
+    assert got == 2                       # string range minus negated equality
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expects an integer"):
+        df.where(filter_condition([("turn_idx", "[a TO b]")])).count()
