@@ -1697,6 +1697,81 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_bm25_boost(spark, sf_dir):
+    """Clause boost 'spark^2 OR join': the boosted term's BM25
+    contribution doubles (Lucene ^boost semantics)."""
+    return _bm25_query_df(spark, sf_dir, "spark^2 OR join")
+
+
+SQL_BM25_BOOST = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE term IN ('spark','join') GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 1.0 END)
+              * ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_bm25_fuzzy(spark, sf_dir):
+    """Fuzzy query 'sprak~2': expands to dictionary terms within edit
+    distance 2 (JVM levenshtein in the engine, SQL levenshtein in the
+    oracle — both plain unit-cost) and scores each doc as the BM25 sum
+    over matched expansions."""
+    return _bm25_query_df(spark, sf_dir, "sprak~2")
+
+
+SQL_BM25_FUZZY = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE levenshtein(term, 'sprak') <= 2 GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 RANGE_LO, RANGE_HI = 100, 299
 
 
@@ -1850,6 +1925,8 @@ QUERIES = {
     "bm25_neg_filter": (q_bm25_neg_filter, SQL_BM25_NEG_FILTER),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_range_filter": (q_bm25_range_filter, SQL_BM25_RANGE_FILTER),
+    "bm25_boost": (q_bm25_boost, SQL_BM25_BOOST),
+    "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
     "lang_alpha_map": (q_lang_alpha_map, SQL_LANG_ALPHA_MAP),
     "truncate_build": (q_truncate_build, SQL_TRUNCATE_BUILD),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),

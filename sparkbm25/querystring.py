@@ -16,6 +16,13 @@ reference user actually writes:
                            term dictionary (Lucene scoring_boolean
                            rewrite: each expansion scores with its own
                            BM25; bounded by max_expansions)
+    text~N  text~          fuzzy query, edit distance <= N (0-2,
+                           default 2) — dictionary expansion like
+                           prefix, JVM levenshtein
+    leaf^B                 clause boost: multiplies the leaf's BM25
+                           contribution (terms, phrases, prefixes,
+                           fuzzies; ignored on filters — they don't
+                           score)
     NOT x      -x          negation           (NOT > AND > OR)
     a AND b                conjunction
     a OR b                 disjunction
@@ -53,8 +60,10 @@ FILTER_FIELDS = {"role", "tool", "conv_id", "turn_idx"}
 NUMERIC_FILTER_FIELDS = {"turn_idx"}   # range/equality bounds cast to int
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 # the range alternative must precede the catch-all: `f:[a TO b]`
-# contains spaces inside the brackets
-_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+:\[[^\]]*\]|[^\s()]+')
+# contains spaces inside the brackets; quoted phrases keep an optional
+# ^boost suffix attached
+_TOKEN_RE = re.compile(
+    r'"[^"]*"(?:\^[0-9]*\.?[0-9]+)?|\(|\)|[^\s()"]+:\[[^\]]*\]|[^\s()]+')
 _RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
 
 
@@ -66,16 +75,26 @@ _RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
 @dataclass
 class Term:
     text: str           # a single analyzed term
+    boost: float = 1.0
 
 
 @dataclass
 class Phrase:
     terms: list[str]    # consecutive analyzed terms
+    boost: float = 1.0
 
 
 @dataclass
 class Prefix:
     prefix: str         # analyzed prefix of a `foo*` wildcard leaf
+    boost: float = 1.0
+
+
+@dataclass
+class Fuzzy:
+    term: str           # analyzed term of a `foo~N` fuzzy leaf
+    max_edits: int = 2  # Lucene default fuzziness
+    boost: float = 1.0
 
 
 @dataclass
@@ -99,9 +118,11 @@ class Or:
     children: list["Node"]
 
 
-Node = Term | Phrase | Prefix | Filter | Not | And | Or
+Node = Term | Phrase | Prefix | Fuzzy | Filter | Not | And | Or
 
 _PREFIX_RE = re.compile(r"^([^\s*]+)\*$")
+_FUZZY_RE = re.compile(r"^([^\s~]+)~([0-2])?$")
+_BOOST_RE = re.compile(r"^(.+?)\^([0-9]*\.?[0-9]+)$")
 
 
 @dataclass
@@ -201,9 +222,15 @@ class _Parser:
                 raise ValueError("unbalanced parenthesis in query")
             self.next()
             return node
+        # optional trailing ^boost (Lucene clause boost) on any leaf
+        boost = 1.0
+        bm = _BOOST_RE.match(t)
+        if bm and not bm.group(1).endswith("]"):   # never inside a range
+            t, boost = bm.group(1), float(bm.group(2))
+            self.explicit = True
         if t.startswith('"'):
             self.explicit = True
-            return Phrase(_analyze(t.strip('"'), self.token_pattern))
+            return Phrase(_analyze(t.strip('"'), self.token_pattern), boost)
         m = _FIELD_RE.match(t)
         if m and m.group(1).lower() in FILTER_FIELDS:
             return Filter(m.group(1).lower(), m.group(2))
@@ -215,15 +242,23 @@ class _Parser:
             ptoks = _analyze(pm.group(1), self.token_pattern)
             if len(ptoks) == 1:
                 self.explicit = True
-                return Prefix(ptoks[0])
+                return Prefix(ptoks[0], boost)
+        fm = _FUZZY_RE.match(t)
+        if fm:
+            # `sprak~1` — Lucene fuzzy query: expands to dictionary
+            # terms within the edit distance (default fuzziness 2)
+            ftoks = _analyze(fm.group(1), self.token_pattern)
+            if len(ftoks) == 1:
+                self.explicit = True
+                return Fuzzy(ftoks[0], int(fm.group(2) or 2), boost)
         terms = _analyze(t, self.token_pattern)
         if len(terms) == 1:
-            return Term(terms[0])
+            return Term(terms[0], boost)
         if not terms:
             return And([])  # punctuation-only token: matches nothing extra
         # one written word analyzing to several terms ('foo-bar'):
         # conjunction of its parts (Lucene-ish)
-        return And([Term(x) for x in terms])
+        return And([Term(x, boost) for x in terms])
 
 
 def _analyze(text: str, token_pattern: str = DEFAULT_TOKEN_PATTERN) -> list[str]:
@@ -276,11 +311,11 @@ def collect_leaves(node: Node | None):
     """Positive and negative Term/Phrase/Prefix leaves of the tree in
     stable left-to-right order. A leaf under an odd number of NOTs is
     negative (never scores)."""
-    pos: list[Term | Phrase | Prefix] = []
-    negd: list[Term | Phrase | Prefix] = []
+    pos: list[Term | Phrase | Prefix | Fuzzy] = []
+    negd: list[Term | Phrase | Prefix | Fuzzy] = []
 
     def walk(n: Node, neg: bool):
-        if isinstance(n, (Term, Phrase, Prefix)):
+        if isinstance(n, (Term, Phrase, Prefix, Fuzzy)):
             (negd if neg else pos).append(n)
         elif isinstance(n, Not):
             walk(n.child, not neg)

@@ -103,7 +103,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
 
     def eval_empty(n) -> bool:
         """The boolean tree at the empty mask (no leaf matched)."""
-        if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix)):
+        if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix, qs.Fuzzy)):
             return False
         if isinstance(n, qs.Not):
             return not eval_empty(n.child)
@@ -140,6 +140,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
             for leaf in list(pos) + list(neg):
                 slot = len(leaves)
                 slot_of[id(leaf)] = slot
+                max_edits = 0
                 if isinstance(leaf, qs.Phrase):
                     terms = list(leaf.terms)
                     kind = "phrase"
@@ -149,12 +150,20 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                     # leaf's slot — Lucene scoring_boolean rewrite)
                     terms = [leaf.prefix]
                     kind = "prefix"
+                elif isinstance(leaf, qs.Fuzzy):
+                    terms = [leaf.term]
+                    kind = "fuzzy"
+                    max_edits = leaf.max_edits
                 else:
                     terms = [leaf.text]
                     kind = "term"
+                # clause boost multiplies the leaf's BM25 contribution
+                # (Lucene ^boost); NOT leaves never score
                 leaves.append({
                     "slot": slot, "kind": kind, "terms": terms,
-                    "weight": 1.0 if any(leaf is p for p in pos) else 0.0,
+                    "max_edits": max_edits,
+                    "weight": (float(leaf.boost)
+                               if any(leaf is p for p in pos) else 0.0),
                 })
             if not pos and not (parsed.filters or parsed.neg_filters):
                 raise ValueError(
@@ -168,7 +177,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                     return m.bitwiseAND(F.lit(1 << s)) != 0
 
                 def walk(n, m):
-                    if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix)):
+                    if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix, qs.Fuzzy)):
                         return bit(m, slot_map[id(n)])
                     if isinstance(n, qs.Not):
                         return ~walk(n.child, m)
@@ -195,19 +204,41 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
     return plans
 
 
-def _expand_prefixes(spark: SparkSession, index_dir: str,
-                     prefixes: list[str],
-                     max_expansions: int = 128) -> dict[str, list[str]]:
-    """Expand `foo*` leaves against the term dictionary (Lucene
-    multi-term rewrite). The scan reads the `term` column only —
-    parquet pruning keeps the blocks bytes out — and no bucket pruning
-    is possible (crc32 routing hashes whole terms), which matches
-    Lucene: prefix queries walk the term dict. Over max_expansions
-    matching terms raises (the too-many-clauses guard; at web scale an
-    unbounded one-letter prefix would OR thousands of posting lists)."""
+def _levenshtein(a: str, b: str) -> int:
+    """Plain unit-cost edit distance — must agree with Spark's
+    F.levenshtein (used in the expansion scan) and DuckDB's
+    levenshtein (used by the SQL oracle)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expand_multiterm(spark: SparkSession, index_dir: str,
+                      prefixes: list[str],
+                      fuzzies: list[tuple[str, int]],
+                      max_expansions: int = 128) -> dict[str, list[str]]:
+    """Expand `foo*` prefix and `foo~N` fuzzy leaves against the term
+    dictionary (Lucene multi-term rewrite) in ONE scan. The scan reads
+    the `term` column only — parquet pruning keeps the blocks bytes
+    out — and no bucket pruning is possible (crc32 routing hashes
+    whole terms), which matches Lucene: multi-term queries walk the
+    term dict. Fuzzy matching is JVM-side F.levenshtein. Over
+    max_expansions matching terms raises (the too-many-clauses guard;
+    at web scale an unbounded one-letter prefix would OR thousands of
+    posting lists). Keys of the result: 'p:<prefix>' / 'f:<term>~<n>'."""
     cond = None
     for p in prefixes:
         c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    for t, d in fuzzies:
+        c = F.levenshtein(F.col("term"), F.lit(t)) <= d
         cond = c if cond is None else (cond | c)
     terms = [
         r["term"]
@@ -216,12 +247,15 @@ def _expand_prefixes(spark: SparkSession, index_dir: str,
     ]
     out: dict[str, list[str]] = {}
     for p in prefixes:
-        matched = sorted(t for t in terms if t.startswith(p))
+        out[f"p:{p}"] = sorted(t for t in terms if t.startswith(p))
+    for ft, d in fuzzies:
+        out[f"f:{ft}~{d}"] = sorted(
+            t for t in terms if _levenshtein(t, ft) <= d)
+    for key, matched in out.items():
         if len(matched) > max_expansions:
             raise ValueError(
-                f"prefix '{p}*' expands to {len(matched)} terms "
-                f"(> max_expansions={max_expansions}); use a longer prefix")
-        out[p] = matched
+                f"multi-term leaf '{key[2:]}' expands to {len(matched)} "
+                f"terms (> max_expansions={max_expansions}); narrow it")
     return out
 
 
@@ -260,18 +294,23 @@ def search_batch(
     position-verification stage over the positions stream."""
     n_docs, avgdl, cfg, _gens = _load_stats(index_dir)
     plans = _compile_queries(queries, cfg, mode, k)
-    # prefix leaves expand against the term dictionary before the
-    # posting join; every expansion shares its leaf's slot, so the
+    # prefix/fuzzy leaves expand against the term dictionary before
+    # the posting join; every expansion shares its leaf's slot, so the
     # boolean mask and the disjunction-sum score fall out of the
     # existing machinery (scoring_boolean rewrite)
     prefixes = sorted({l["terms"][0] for p in plans for l in p.leaves
                        if l["kind"] == "prefix"})
-    if prefixes and n_docs > 0:
-        expansions = _expand_prefixes(spark, index_dir, prefixes)
+    fuzzies = sorted({(l["terms"][0], l["max_edits"]) for p in plans
+                      for l in p.leaves if l["kind"] == "fuzzy"})
+    if (prefixes or fuzzies) and n_docs > 0:
+        expansions = _expand_multiterm(spark, index_dir, prefixes, fuzzies)
         for p in plans:
             for l in p.leaves:
                 if l["kind"] == "prefix":
-                    l["terms"] = expansions.get(l["terms"][0], [])
+                    l["terms"] = expansions.get(f"p:{l['terms'][0]}", [])
+                elif l["kind"] == "fuzzy":
+                    l["terms"] = expansions.get(
+                        f"f:{l['terms'][0]}~{l['max_edits']}", [])
     qp = _plans_to_rows(plans)
     empty = spark.createDataFrame(
         [], "query_id int, rank int, conv_id string, turn_idx int, score double")

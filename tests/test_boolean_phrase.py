@@ -310,3 +310,54 @@ def test_range_filter_with_text(spark, built):
     for r in got.itertuples():
         assert r.turn_idx in (0, 1)
         assert w in _words(texts, (r.conv_id, r.turn_idx))
+
+
+def test_boost_scales_contribution(spark, built):
+    """'w^2 OR v' doubles w's BM25 contribution: for a doc matching
+    only w, score == 2 * its plain score."""
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w = toks[2]
+    plain = search_batch(spark, d, pd.DataFrame(
+        {"query_id": [0], "query_text": [w], "k": [10]}), k=10).toPandas()
+    boosted = search_batch(spark, d, pd.DataFrame(
+        {"query_id": [0], "query_text": [f"{w}^2 OR zzzznever"], "k": [10]}),
+        k=10).toPandas()
+    assert plain["conv_id"].tolist() == boosted["conv_id"].tolist()
+    np.testing.assert_allclose(boosted["score"].astype(float),
+                               2.0 * plain["score"].astype(float), rtol=1e-9)
+
+
+def test_fuzzy_query_matches_within_distance(spark, built):
+    """A misspelled term~1 finds docs containing the real term."""
+    import re as _re
+
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w = next(x for x in toks if len(x) >= 5 and x.isalpha())
+    misspelled = w[:-1] + ("x" if w[-1] != "x" else "y")  # 1 substitution
+    q = pd.DataFrame({"query_id": [0], "query_text": [f"{misspelled}~1"],
+                      "k": [10]})
+    got = search_batch(spark, d, q, k=10).toPandas()
+    assert len(got) > 0
+    # every hit contains SOME term within distance 1 of the query
+    from sparkbm25.search import _levenshtein
+
+    for r in got.itertuples():
+        ws = _words(texts, (r.conv_id, r.turn_idx))
+        assert any(_levenshtein(x, misspelled) <= 1 for x in ws)
+
+
+def test_phrase_boost_parses_and_runs(spark, built):
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    plain = search_batch(spark, d, pd.DataFrame(
+        {"query_id": [0], "query_text": [f'"{w1} {w2}"'], "k": [10]}),
+        k=10).toPandas()
+    boosted = search_batch(spark, d, pd.DataFrame(
+        {"query_id": [0], "query_text": [f'"{w1} {w2}"^3'], "k": [10]}),
+        k=10).toPandas()
+    assert plain["conv_id"].tolist() == boosted["conv_id"].tolist()
+    np.testing.assert_allclose(boosted["score"].astype(float),
+                               3.0 * plain["score"].astype(float), rtol=1e-9)
