@@ -111,6 +111,26 @@ def main():
     sections.append(("Query-terms broadcast join (J5)", p))
     checks.append(("query join: BroadcastHashJoin", "BroadcastHashJoin" in p))
 
+    # 4b. round-3 batch-path property: df comes from a narrow aggregate
+    #     broadcast back to the scan; the blocks column flows scan →
+    #     broadcast-join → decode with NO exchange and NO window (the
+    #     round-2 window shuffled the blocks payload)
+    pruned = (
+        spark.read.parquet(*catalog.segments_paths(idx))
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    dfs = (pruned.groupBy("term").agg(F.sum("n_docs").alias("df"))
+           .select("term", (F.col("df") * 0.0 + 1.0).alias("idf")))
+    hits2 = (pruned.select("term", "blocks")
+             .join(F.broadcast(qdf), "term")
+             .join(F.broadcast(dfs), "term"))
+    p = explain_str(hits2)
+    sections.append(("Batch search hits (blocks never shuffled)", p))
+    checks.append(("batch hits: no window over segment rows", "Window" not in p))
+    checks.append(("batch hits: df via second broadcast join",
+                   p.count("BroadcastHashJoin") >= 2))
+
     # 5. ANN top-k: TakeOrderedAndProject, NOT a single-partition window
     #    (round-2 fix of the global-window scale bug)
     from sparkbm25.ann import cosine_topk_bruteforce
