@@ -59,6 +59,15 @@ def compact_index(*args, **kwargs):
     return _f(*args, **kwargs)
 
 
+def compact_generations(*args, **kwargs):
+    """In-place generation fold of a live root (see
+    streaming.compact_generations; update_index's auto_compact_after
+    policy calls this)."""
+    from sparkbm25.streaming import compact_generations as _f
+
+    return _f(*args, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -72,4 +81,5 @@ __all__ = [
     "annotate_docs",
     "translate_into_index",
     "compact_index",
+    "compact_generations",
 ]

@@ -131,6 +131,23 @@ def read_manifest(index_dir: str) -> pd.DataFrame:
     return pq.read_table(d).to_pandas()
 
 
+def superseded_path(index_root: str) -> str:
+    return os.path.join(index_root, "_superseded.json")
+
+
+def read_superseded(index_root: str) -> dict | None:
+    """The in-place-compaction tombstone ({'by': K, 'gens': [..ids..]}):
+    generations listed in it are invisible to readers ONCE generation K
+    is live. Written before the compacted generation's rename, so the
+    rename itself is the atomic commit point (see
+    streaming.compact_generations)."""
+    p = superseded_path(index_root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def generation_dirs(index_root: str, include_dead: bool = False) -> list[str]:
     """Generations of an incrementally-built index (streaming.py):
     index_root/gen=K/ each a self-contained sub-index. A plain
@@ -142,7 +159,11 @@ def generation_dirs(index_root: str, include_dead: bool = False) -> list[str]:
     index and is skipped unless include_dead (update_index uses
     include_dead to avoid reusing a dead generation's id, and wipes
     dead dirs before appending). Round-1 raised FileNotFoundError on
-    every query/update after one crashed generation (ADVICE fix)."""
+    every query/update after one crashed generation (ADVICE fix).
+
+    Generations superseded by an in-place compaction (_superseded.json
+    + the compacted generation live) are likewise invisible to readers
+    — they are physically deleted by the next update."""
     if os.path.exists(stats_path(index_root)):
         return [index_root]
     if not os.path.isdir(index_root):
@@ -154,6 +175,13 @@ def generation_dirs(index_root: str, include_dead: bool = False) -> list[str]:
     out = [os.path.join(index_root, d) for d in gens]
     if not include_dead:
         out = [g for g in out if os.path.exists(complete_marker_path(g))]
+        sup = read_superseded(index_root)
+        if sup is not None:
+            target = os.path.join(index_root, f"gen={int(sup['by'])}")
+            if os.path.exists(complete_marker_path(target)):
+                dead_ids = {int(g) for g in sup["gens"]}
+                out = [g for g in out
+                       if int(os.path.basename(g).split("=")[1]) not in dead_ids]
     return out
 
 

@@ -142,10 +142,23 @@ def cmd_annotate(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from sparkbm25.compact import compact_index
-
     spark = _spark(args.master, "sparkbm25-compact")
-    res = compact_index(spark, args.index, args.out)
+    if args.in_place:
+        from sparkbm25.streaming import compact_generations
+
+        res = compact_generations(spark, args.index)
+        if res is None:
+            print(json.dumps({"compacted": False,
+                              "reason": "fewer than 2 live generations"}))
+            return 0
+    else:
+        if not args.out:
+            print("compact: either --out DIR or --in-place is required",
+                  file=sys.stderr)
+            return 2
+        from sparkbm25.compact import compact_index
+
+        res = compact_index(spark, args.index, args.out)
     print(json.dumps({
         "n_docs": res.n_docs, "seconds": round(res.seconds, 2),
         "out": res.index_dir,
@@ -232,7 +245,10 @@ def main(argv=None) -> int:
     pc = sub.add_parser(
         "compact", help="fold index generations into one root (forceMerge)")
     pc.add_argument("--index", required=True, help="multi-generation index root")
-    pc.add_argument("--out", required=True, help="compacted output dir")
+    pc.add_argument("--out", default=None, help="compacted output dir")
+    pc.add_argument("--in-place", action="store_true",
+                    help="fold generations inside the same root "
+                         "(atomic reader switch; no second copy)")
     pc.add_argument("--master", default=None)
     pc.set_defaults(fn=cmd_compact)
 

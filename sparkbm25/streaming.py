@@ -55,24 +55,92 @@ def update_index(
     index_root: str,
     config: IndexConfig = IndexConfig(),
     input_desc: str = "",
+    auto_compact_after: int = 0,
 ) -> BuildResult:
     """Append one batch of transcripts as a new index generation.
     Crashed generations left by a dead builder are wiped first (resume
-    path: the batch that died is simply re-appended)."""
+    path: the batch that died is simply re-appended).
+
+    auto_compact_after=K > 0 is the tiered-merge policy (the Lucene
+    background-merge analog of the explicit forceMerge in compact.py):
+    when the append leaves K or more live generations, they fold
+    in-place into one (compact_generations) — queries otherwise fan
+    out to one pruned scan per generation forever."""
     os.makedirs(index_root, exist_ok=True)
     import shutil
 
+    # finish any interrupted compaction (or wipe its corpse), then
+    # wipe crashed generations. Superseded generations are not "live"
+    # once their compacted replacement is, so the same loop deletes
+    # them — completing compact_generations step 4 after a crash.
     live = set(catalog.generation_dirs(index_root))
     for g in catalog.generation_dirs(index_root, include_dead=True):
         if g != index_root and g not in live:
             shutil.rmtree(g, ignore_errors=True)
+    sup = catalog.superseded_path(index_root)
+    if os.path.exists(sup):
+        os.remove(sup)
+    shutil.rmtree(os.path.join(index_root, "_compact_tmp"),
+                  ignore_errors=True)
     gen_id, base = next_generation(index_root)
     gen_dir = os.path.join(index_root, f"gen={gen_id}")
-    return build_index(
+    res = build_index(
         spark, new_transcripts, gen_dir, config,
         input_desc=input_desc or f"gen{gen_id}",
         doc_ord_base=base,
     )
+    if auto_compact_after and len(
+            catalog.generation_dirs(index_root)) >= auto_compact_after:
+        compact_generations(spark, index_root)
+    return res
+
+
+def compact_generations(spark: SparkSession, index_root: str) -> BuildResult | None:
+    """In-place forceMerge: fold every live generation into ONE new
+    generation of the SAME root while readers stay correct throughout.
+
+    Plain-filesystem atomicity via a single rename:
+      1. compact_index -> root/_compact_tmp (not gen=*, so invisible)
+      2. write _superseded.json {by: K, gens: [old ids]} — inert while
+         gen=K does not exist (catalog.read_superseded applies it only
+         once the target generation is live)
+      3. rename _compact_tmp -> gen=K: THE commit point — one rename
+         makes the compacted generation live AND activates the
+         tombstone hiding the old generations from every reader
+      4. delete superseded dirs + tombstone (crash here is benign: the
+         next update_index finishes the deletes)
+    A crash before step 3 leaves the old generations authoritative and
+    only garbage to clean. No reader window ever sees partial or
+    double-counted data."""
+    import json
+    import shutil
+
+    from sparkbm25.compact import compact_index
+
+    live = catalog.generation_dirs(index_root)
+    if live == [index_root]:
+        raise ValueError(
+            f"{index_root} is a single-shot index; use compact_index "
+            "to write a compacted copy to a new root")
+    if len(live) <= 1:
+        return None
+    all_gens = catalog.generation_dirs(index_root, include_dead=True)
+    new_id = int(os.path.basename(all_gens[-1]).split("=")[1]) + 1
+    tmp = os.path.join(index_root, "_compact_tmp")
+    res = compact_index(spark, index_root, tmp)
+    old_ids = [int(os.path.basename(g).split("=")[1]) for g in live]
+    sup_tmp = catalog.superseded_path(index_root) + ".tmp"
+    with open(sup_tmp, "w") as f:
+        json.dump({"by": new_id, "gens": old_ids}, f)
+    os.replace(sup_tmp, catalog.superseded_path(index_root))
+    gen_dir = os.path.join(index_root, f"gen={new_id}")
+    os.rename(tmp, gen_dir)                      # commit point
+    for g in live:
+        shutil.rmtree(g, ignore_errors=True)
+    os.remove(catalog.superseded_path(index_root))
+    return BuildResult(index_dir=gen_dir, n_docs=res.n_docs,
+                       avgdl=res.avgdl, seconds=res.seconds,
+                       turns_per_sec=res.turns_per_sec)
 
 
 def stream_metrics(
@@ -185,11 +253,15 @@ def stream_index(
     checkpoint: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    auto_compact_after: int = 0,
 ):
     """readStream(parquet dir) -> foreachBatch(update_index).
 
     available_now=True drains what exists and stops (batch-incremental
-    refresh); False runs continuously. Returns the StreamingQuery.
+    refresh); False runs continuously. auto_compact_after=K folds the
+    generations in-place whenever K accumulate (tiered merge — a
+    long-running stream otherwise grows one generation per
+    micro-batch). Returns the StreamingQuery.
     """
     schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
@@ -201,7 +273,8 @@ def stream_index(
         if batch_df.isEmpty():
             return
         update_index(spark, batch_df, index_root, config,
-                     input_desc=f"stream_batch_{batch_id}")
+                     input_desc=f"stream_batch_{batch_id}",
+                     auto_compact_after=auto_compact_after)
 
     writer = stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint:

@@ -168,3 +168,21 @@ def test_cli_monitor_watch(built, capsys):
     assert _time.time() - t0 >= 1.0          # slept between polls
     out = capsys.readouterr().out
     assert out.count('"n_turns": 1000') == 2  # two poll outputs
+
+
+def test_cli_compact_in_place(spark, tmp_path, capsys):
+    from sparkbm25 import Searcher
+    from sparkbm25 import catalog
+    from sparkbm25.streaming import update_index
+
+    root = str(tmp_path / "cigens")
+    cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
+    t = make_transcripts(200, seed=3)
+    update_index(spark, spark.createDataFrame(t.iloc[:100]), root, cfg)
+    update_index(spark, spark.createDataFrame(t.iloc[100:]), root, cfg)
+    rc = cli.main(["compact", "--index", root, "--in-place"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 200
+    assert len(catalog.generation_dirs(root)) == 1
+    assert Searcher(spark, root).n_docs == 200

@@ -200,3 +200,88 @@ def test_compact_generations_parity(spark, corpus, tmp_path):
         assert ga["conv_id"].tolist() == gb["conv_id"].tolist(), qt
         np.testing.assert_allclose(ga["score"].astype(float),
                                    gb["score"].astype(float), rtol=1e-9)
+
+
+def test_auto_compact_folds_generations(spark, tmp_path):
+    """Tiered-merge policy: update_index(auto_compact_after=3) folds
+    the generations in-place once 3 accumulate; results stay identical
+    to a from-scratch build over the whole corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkbm25 import IndexConfig, build_index, search_batch
+    from sparkbm25 import catalog
+    from sparkbm25.fixtures import make_transcripts
+    from sparkbm25.streaming import update_index
+
+    t = make_transcripts(450, seed=17)
+    root = str(tmp_path / "acgens")
+    cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
+    for lo in (0, 150, 300):
+        update_index(spark, spark.createDataFrame(t.iloc[lo:lo + 150]),
+                     root, cfg, auto_compact_after=3)
+    live = catalog.generation_dirs(root)
+    assert len(live) == 1 and live[0].endswith("gen=3")
+    import os
+
+    assert not os.path.exists(catalog.superseded_path(root))
+    # parity vs a from-scratch single-shot build
+    ref = str(tmp_path / "acref")
+    build_index(spark, spark.createDataFrame(t), ref, cfg, input_desc="acref")
+    q = pd.DataFrame({"query_id": [0], "query_text": ["alpha w0001"], "k": [10]})
+    got = search_batch(spark, root, q, k=10).toPandas().sort_values("rank")
+    exp = search_batch(spark, ref, q, k=10).toPandas().sort_values("rank")
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    np.testing.assert_allclose(got["score"].astype(float),
+                               exp["score"].astype(float), rtol=1e-9)
+    # the compacted root keeps accepting appends
+    update_index(spark, spark.createDataFrame(
+        make_transcripts(50, seed=99)), root, cfg)
+    from sparkbm25 import Searcher
+
+    assert Searcher(spark, root).n_docs == 500
+
+
+def test_compaction_crash_windows_are_safe(spark, tmp_path):
+    """The tombstone protocol: before the commit rename the old
+    generations stay authoritative; after it they are invisible even
+    if their dirs still exist; update_index finishes the cleanup."""
+    import json
+    import os
+
+    from sparkbm25 import IndexConfig, Searcher
+    from sparkbm25 import catalog
+    from sparkbm25.fixtures import make_transcripts
+    from sparkbm25.streaming import compact_generations, update_index
+
+    t = make_transcripts(200, seed=23)
+    root = str(tmp_path / "crashgens")
+    cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
+    update_index(spark, spark.createDataFrame(t.iloc[:100]), root, cfg)
+    update_index(spark, spark.createDataFrame(t.iloc[100:]), root, cfg)
+    # crash between tombstone write and rename: target absent -> inert
+    with open(catalog.superseded_path(root), "w") as f:
+        json.dump({"by": 2, "gens": [0, 1]}, f)
+    assert len(catalog.generation_dirs(root)) == 2   # old gens serve
+    assert Searcher(spark, root).n_docs == 200
+    os.remove(catalog.superseded_path(root))
+    # real compaction, then simulate a crash BEFORE step-4 cleanup:
+    # recreate the tombstone + a fake leftover old dir
+    compact_generations(spark, root)
+    live = catalog.generation_dirs(root)
+    assert len(live) == 1 and live[0].endswith("gen=2")
+    dead = os.path.join(root, "gen=0")
+    os.makedirs(os.path.join(dead), exist_ok=True)
+    with open(os.path.join(dead, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    with open(catalog.superseded_path(root), "w") as f:
+        json.dump({"by": 2, "gens": [0]}, f)
+    # tombstone + live target: the leftover is invisible to readers
+    assert catalog.generation_dirs(root) == live
+    assert Searcher(spark, root).n_docs == 200
+    # the next update wipes it and removes the tombstone
+    update_index(spark, spark.createDataFrame(
+        make_transcripts(10, seed=5)), root, cfg)
+    assert not os.path.exists(dead)
+    assert not os.path.exists(catalog.superseded_path(root))
+    assert Searcher(spark, root).n_docs == 210
