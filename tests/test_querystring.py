@@ -182,3 +182,42 @@ def test_range_filter_condition_numeric(spark):
 
     with _pytest.raises(ValueError, match="expects an integer"):
         df.where(filter_condition([("turn_idx", "[a TO b]")])).count()
+
+
+def test_parser_fuzz_new_surface():
+    """The round-3 lexer additions (ranges, boosts, fuzzy, prefix)
+    never crash the parser on junk and never mis-lex quoted phrases."""
+    import itertools
+
+    from sparkbm25.querystring import parse_query_string
+
+    atoms = ['alpha', 'be*', 'ga~1', 'de^2', '"x y"^3', 'turn_idx:[1 TO 2]',
+             'role:user', 'conv_id:[a TO *]', 'NOT', 'OR', 'AND', '(', ')',
+             '~', '^', '*', '"', 'f~9', 'g^', 'turn_idx:[1TO2]']
+    import random
+
+    rng = random.Random(7)
+    for _ in range(300):
+        q = " ".join(rng.choice(atoms) for _ in range(rng.randint(1, 6)))
+        try:
+            p = parse_query_string(q)
+            # parse result invariants when it succeeds
+            assert isinstance(p.filters, list)
+        except ValueError:
+            pass    # malformed queries raise ValueError, never crash
+
+
+def test_boost_and_fuzzy_parse_shapes():
+    from sparkbm25.querystring import (Fuzzy, Phrase, Prefix, Term,
+                                       parse_query_string)
+
+    p = parse_query_string('spark^2.5')
+    assert isinstance(p.tree, Term) and p.tree.boost == 2.5
+    p = parse_query_string('"a b"^3')
+    assert isinstance(p.tree, Phrase) and p.tree.boost == 3.0
+    p = parse_query_string('spar*^2')
+    assert isinstance(p.tree, Prefix) and p.tree.boost == 2.0
+    p = parse_query_string('sprak~1')
+    assert isinstance(p.tree, Fuzzy) and p.tree.max_edits == 1
+    p = parse_query_string('sprak~')
+    assert isinstance(p.tree, Fuzzy) and p.tree.max_edits == 2
