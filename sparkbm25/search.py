@@ -786,6 +786,15 @@ class Searcher:
         self.max_driver_postings = max_driver_postings
         self.last_path: str | None = None
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(index_dir)
+        # per-generation segment DataFrames created ONCE: repeated
+        # queries reuse the resolved file index + parquet footers
+        # instead of re-listing the segment tree per search (partition
+        # pruning by term_bucket still applies per query — it's a
+        # planning-time filter over the cached file index)
+        self._seg_dfs = [
+            spark.read.parquet(catalog.segments_dir(gen["dir"]))
+            for gen in self.gens
+        ]
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """df per term from the term dictionary table (analytics path;
@@ -815,9 +824,9 @@ class Searcher:
         query, VERDICT item 5)."""
         buckets = sorted({self.cfg.term_bucket_of(t) for t in terms})
         out = None
-        for gi, gen in enumerate(self.gens):
+        for gi, seg_df in enumerate(self._seg_dfs):
             part = (
-                self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
+                seg_df
                 .where(F.col("term_bucket").isin(buckets))
                 .where(F.col("term").isin(terms))
                 .select(F.lit(gi).alias("_g"), *cols)
