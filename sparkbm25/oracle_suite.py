@@ -1697,6 +1697,46 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+_AUTOC_CACHE: dict[str, str] = {}
+
+
+def q_bm25_autocompact(spark, sf_dir):
+    """In-place tiered merge (streaming.compact_generations — the
+    update_index(auto_compact_after=K) policy): a two-generation index
+    folded inside its OWN root (tombstone + atomic rename swap, old
+    generation dirs deleted) must answer the same SQL oracle as a
+    from-scratch build over the whole corpus."""
+    import shutil
+
+    from sparkbm25.config import IndexConfig
+    from sparkbm25.search import search_batch
+    from sparkbm25.streaming import update_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _AUTOC_CACHE:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "sparkbm25_autoc_" + key.strip("/").replace("/", "_"))
+        shutil.rmtree(root, ignore_errors=True)
+        t = docs_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(n_term_buckets=8, n_salt_buckets=2, n_build_chunks=1)
+        n = t.count()
+        cut = F.lpad(F.lit(str(n // 2)), 12, "0")
+        update_index(spark, t.where(F.col("conv_id") < cut), root, cfg)
+        # the second append trips the auto-compaction threshold
+        update_index(spark, t.where(F.col("conv_id") >= cut), root, cfg,
+                     auto_compact_after=2)
+        _AUTOC_CACHE[key] = root
+    queries = pd.DataFrame(
+        {"query_id": [0], "query_text": [" ".join(BM25_TERMS)], "k": [TOPK]})
+    out = search_batch(spark, _AUTOC_CACHE[key], queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
 def q_bm25_boost(spark, sf_dir):
     """Clause boost 'spark^2 OR join': the boosted term's BM25
     contribution doubles (Lucene ^boost semantics)."""
@@ -1931,6 +1971,7 @@ QUERIES = {
     "truncate_build": (q_truncate_build, SQL_TRUNCATE_BUILD),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),
     "bm25_compacted": (q_bm25_compacted, SQL_BM25_TOPK),
+    "bm25_autocompact": (q_bm25_autocompact, SQL_BM25_TOPK),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH_DEDUP),
     "lang_id": (q_lang_id_engine, SQL_LANG_ID),

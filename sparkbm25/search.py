@@ -790,11 +790,25 @@ class Searcher:
         # queries reuse the resolved file index + parquet footers
         # instead of re-listing the segment tree per search (partition
         # pruning by term_bucket still applies per query — it's a
-        # planning-time filter over the cached file index)
+        # planning-time filter over the cached file index). A Searcher
+        # is bound to the generation set it saw at construction — after
+        # update_index / compact_generations on the same root, call
+        # refresh() (or build a new Searcher); compaction DELETES the
+        # superseded generation dirs, so a stale snapshot would fail.
         self._seg_dfs = [
             spark.read.parquet(catalog.segments_dir(gen["dir"]))
             for gen in self.gens
         ]
+
+    def refresh(self) -> "Searcher":
+        """Re-bind to the index's current generation set (after an
+        append or in-place compaction). Returns self."""
+        self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(self.index_dir)
+        self._seg_dfs = [
+            self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
+            for gen in self.gens
+        ]
+        return self
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """df per term from the term dictionary table (analytics path;
