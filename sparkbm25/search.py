@@ -795,10 +795,12 @@ class Searcher:
         # update_index / compact_generations on the same root, call
         # refresh() (or build a new Searcher); compaction DELETES the
         # superseded generation dirs, so a stale snapshot would fail.
+        # (an empty-corpus index has no readable segment schema; its
+        # searches return empty before ever touching segments)
         self._seg_dfs = [
             spark.read.parquet(catalog.segments_dir(gen["dir"]))
             for gen in self.gens
-        ]
+        ] if self.n_docs > 0 else []
 
     def refresh(self) -> "Searcher":
         """Re-bind to the index's current generation set (after an
@@ -807,7 +809,7 @@ class Searcher:
         self._seg_dfs = [
             self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
             for gen in self.gens
-        ]
+        ] if self.n_docs > 0 else []
         return self
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
