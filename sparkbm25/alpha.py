@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 
 # (alpha_2, alpha_3, name) — ISO 639-1 / 639-2T codes for the languages
 # the reference's interpreters ship models for, plus common web langs.
+# This is an explicit SUPPORTED-LANGUAGE SUBSET, not the full ISO
+# table the reference gets from pycountry (ADVICE r3): a valid ISO
+# code outside it (e.g. 'sr', 'fy', 'az') raises InvalidLanguageCode
+# when a conversion is required, while codes already in the requested
+# format pass through unvalidated exactly like the reference. Extend
+# the table to widen support; supported_codes() enumerates it.
 LANGUAGES: list[tuple[str, str, str]] = [
     ("ar", "ara", "Arabic"),
     ("bg", "bul", "Bulgarian"),
@@ -82,6 +88,11 @@ _A3_TO_A2 = {a3: a2 for a2, a3, _ in LANGUAGES}
 _A2_TO_NAME = {a2: name for a2, _, name in LANGUAGES}
 
 
+def supported_codes() -> set[str]:
+    """Every alpha-2 and alpha-3 code the static table can convert."""
+    return set(_A2_TO_A3) | set(_A3_TO_A2)
+
+
 class InvalidLanguageCode(ValueError):
     """Reference parity: es_translator/alpha.py:4-9."""
 
@@ -91,27 +102,33 @@ class InvalidLanguageCode(ValueError):
 
 
 def to_alpha_2(code: str) -> str:
-    """alpha-3 (or already alpha-2) -> alpha-2 (ref alpha.py:12-29)."""
+    """alpha-3 -> alpha-2 (ref alpha.py:12-29). Reference semantics
+    EXACTLY (ADVICE r3): a code that is not 3 chars long passes
+    through UNVALIDATED — the reference only consults pycountry when a
+    conversion is actually needed, so e.g. to_alpha_2('sr') == 'sr'
+    even though 'sr' is outside SUPPORTED_LANGUAGES. Only 3-letter
+    codes the table cannot convert raise."""
     c = (code or "").lower()
     if len(c) == 3:
         if c not in _A3_TO_A2:
             raise InvalidLanguageCode(code)
         return _A3_TO_A2[c]
-    if len(c) == 2 and c in _A2_TO_A3:
-        return c
-    raise InvalidLanguageCode(code)
+    return c
 
 
 def to_alpha_3(code: str) -> str:
-    """alpha-2 (or already alpha-3) -> alpha-3 (ref alpha.py:32-49)."""
+    """alpha-2 -> alpha-3 (ref alpha.py:32-49). Like the reference, a
+    code that is not 2 chars long passes through UNVALIDATED (see
+    to_alpha_2); only 2-letter codes outside the static table raise —
+    which is STRICTER than the reference for valid ISO codes we don't
+    carry (e.g. 'fy'): the reference covers the full pycountry table,
+    this engine the SUPPORTED_LANGUAGES subset below."""
     c = (code or "").lower()
     if len(c) == 2:
         if c not in _A2_TO_A3:
             raise InvalidLanguageCode(code)
         return _A2_TO_A3[c]
-    if len(c) == 3 and c in _A3_TO_A2:
-        return c
-    raise InvalidLanguageCode(code)
+    return c
 
 
 def to_name(alpha_2: str) -> str:

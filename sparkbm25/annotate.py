@@ -37,6 +37,35 @@ ANNOTATION_TYPE = ArrayType(StructType([
 ]))
 
 
+def repair_annotate_swap(gen_dir: str) -> list[str]:
+    """Close the per-block swap's crash window (ADVICE r3): a crash
+    between `rename(dst -> old_root)` and `rename(src -> dst)` leaves
+    a doc_block partition absent from the forward table, with the only
+    copy sitting in the docs_annotate_old aside dir. On the next
+    annotate (or an explicit repair call) any aside block whose
+    partition is MISSING from docs/ is moved back; aside blocks whose
+    partition exists are leftovers of a crash AFTER the new data
+    landed and are simply dropped. Returns the restored block dirs."""
+    import shutil
+
+    docs_path = catalog.docs_dir(gen_dir)
+    old_root = catalog.staging_dir(gen_dir, "docs_annotate_old")
+    restored: list[str] = []
+    if os.path.isdir(old_root):
+        for d in os.listdir(old_root):
+            if not d.startswith("doc_block="):
+                continue
+            dst = os.path.join(docs_path, d)
+            if not os.path.exists(dst):
+                os.rename(os.path.join(old_root, d), dst)
+                restored.append(d)
+        shutil.rmtree(old_root, ignore_errors=True)
+    # a half-written staging dir from a crashed annotate is garbage
+    shutil.rmtree(catalog.staging_dir(gen_dir, "docs_annotate"),
+                  ignore_errors=True)
+    return restored
+
+
 def annotate_docs(
     spark: SparkSession,
     index_dir: str,
@@ -74,6 +103,7 @@ def annotate_docs(
     n_updated = 0
     for gen in catalog.generation_dirs(index_dir):
         docs_path = catalog.docs_dir(gen)
+        repair_annotate_swap(gen)
         docs = spark.read.parquet(docs_path)
         if "annotations" not in docs.columns:
             docs = docs.withColumn(
@@ -121,10 +151,13 @@ def annotate_docs(
         merged.write.mode("overwrite").partitionBy("doc_block").parquet(staging)
         # per-partition swap, crash-safe (ADVICE r2): the old block dir
         # is MOVED aside (one rename), never deleted before its
-        # replacement lands — a crash mid-swap leaves either the old or
-        # the new data in place plus a recoverable *_old copy, never a
-        # hole. The aside dir lives under _staging (outside docs_path)
-        # so partition discovery never sees it.
+        # replacement lands. A crash between the two renames leaves the
+        # block's only copy in the aside dir; repair_annotate_swap
+        # (run at the top of every annotate) moves it back, so no data
+        # is ever lost and the gap lasts only until the next
+        # annotate/repair (ADVICE r3). The aside dir lives under
+        # _staging (outside docs_path) so partition discovery never
+        # sees it.
         old_root = catalog.staging_dir(gen, "docs_annotate_old")
         shutil.rmtree(old_root, ignore_errors=True)
         os.makedirs(old_root, exist_ok=True)

@@ -91,7 +91,16 @@ def update_index(
     )
     if auto_compact_after and len(
             catalog.generation_dirs(index_root)) >= auto_compact_after:
-        compact_generations(spark, index_root)
+        cres = compact_generations(spark, index_root)
+        if cres is not None:
+            # the appended generation's dir was just deleted by the
+            # merge — point the result at the live compacted generation
+            # instead of a dangling path (ADVICE r3); the throughput
+            # metrics stay the append's (they describe this call's
+            # build work)
+            res = BuildResult(index_dir=cres.index_dir, n_docs=res.n_docs,
+                              avgdl=res.avgdl, seconds=res.seconds,
+                              turns_per_sec=res.turns_per_sec)
     return res
 
 

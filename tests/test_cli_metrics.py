@@ -93,6 +93,12 @@ def test_alpha_code_map():
         alpha.to_alpha_3("xx")
     with pytest.raises(alpha.InvalidLanguageCode):
         alpha.to_alpha_2("zzz")
+    # reference parity (ADVICE r3): codes already in the requested
+    # format pass through UNVALIDATED — 'sr' is a valid ISO code
+    # outside the static table, and the reference returns it as-is
+    assert alpha.to_alpha_2("sr") == "sr"
+    assert alpha.to_alpha_3("srp") == "srp"
+    assert "fr" in alpha.supported_codes() and "fra" in alpha.supported_codes()
 
 
 def test_cli_translate_plan_execute_resume(spark, tmp_path, capsys):

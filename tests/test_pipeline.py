@@ -115,6 +115,49 @@ def test_annotate_rewrites_only_affected_blocks(spark, tmp_path):
     assert len(got) == 10 and set(got["name"]) == {"tag"}
 
 
+def test_annotate_swap_crash_window_repairs(spark, tmp_path):
+    """ADVICE r3: a crash between rename(dst -> aside) and
+    rename(src -> dst) leaves a doc_block partition missing from the
+    forward table with its only copy in the aside dir. The next
+    annotate (or repair_annotate_swap) must restore it — and must NOT
+    clobber blocks whose partition already exists."""
+    import os
+    import shutil
+
+    from sparkbm25.annotate import annotate_docs, read_annotations, repair_annotate_swap
+    from sparkbm25.build import build_index
+    from sparkbm25.fixtures import make_transcripts
+    from sparkbm25 import catalog
+
+    t = make_transcripts(300, seed=23)
+    d = str(tmp_path / "crashidx")
+    build_index(spark, spark.createDataFrame(t), d,
+                IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                            n_build_chunks=1, doc_block_size=64),
+                input_desc="crash300")
+    docs_dir = os.path.join(d, "docs")
+    # simulate the crash window: block 0 moved aside, replacement never
+    # landed
+    old_root = catalog.staging_dir(d, "docs_annotate_old")
+    os.makedirs(old_root, exist_ok=True)
+    os.rename(os.path.join(docs_dir, "doc_block=0"),
+              os.path.join(old_root, "doc_block=0"))
+    # a stale aside copy of a block that DOES exist must be dropped,
+    # not restored over the live partition
+    shutil.copytree(os.path.join(docs_dir, "doc_block=1"),
+                    os.path.join(old_root, "doc_block=1"))
+    restored = repair_annotate_swap(d)
+    assert restored == ["doc_block=0"]
+    assert os.path.isdir(os.path.join(docs_dir, "doc_block=0"))
+    assert not os.path.exists(old_root)
+    # the table reads whole again and a follow-up annotate works
+    assert catalog.read_docs(spark, d).count() == 300
+    first5 = t.sort_values(["conv_id", "turn_idx"]).head(5)
+    upd = spark.createDataFrame(first5[["conv_id", "turn_idx"]].assign(value="x"))
+    assert annotate_docs(spark, d, upd, "tag") == 5
+    assert len(read_annotations(spark, d).toPandas()) == 5
+
+
 def test_translate_into_index_partial_resume(spark, tmp_path):
     """The reference's end-to-end job with its is_translated gate:
     translate half the corpus, then run over the WHOLE corpus — only

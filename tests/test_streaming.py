@@ -206,6 +206,8 @@ def test_auto_compact_folds_generations(spark, tmp_path):
     """Tiered-merge policy: update_index(auto_compact_after=3) folds
     the generations in-place once 3 accumulate; results stay identical
     to a from-scratch build over the whole corpus."""
+    import os
+
     import numpy as np
     import pandas as pd
 
@@ -218,8 +220,13 @@ def test_auto_compact_folds_generations(spark, tmp_path):
     root = str(tmp_path / "acgens")
     cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
     for lo in (0, 150, 300):
-        update_index(spark, spark.createDataFrame(t.iloc[lo:lo + 150]),
-                     root, cfg, auto_compact_after=3)
+        res = update_index(spark, spark.createDataFrame(t.iloc[lo:lo + 150]),
+                           root, cfg, auto_compact_after=3)
+        # the returned index_dir is always a LIVE directory — when the
+        # append trips compaction it points at the compacted
+        # generation, not the just-deleted appended one (ADVICE r3)
+        assert os.path.exists(res.index_dir), res.index_dir
+    assert res.index_dir.endswith("gen=3")
     live = catalog.generation_dirs(root)
     assert len(live) == 1 and live[0].endswith("gen=3")
     import os

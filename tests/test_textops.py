@@ -31,6 +31,21 @@ def test_exact_dedup(spark, docs):
     assert out[0]["n_dups"] == 2 and out[0]["canonical_id"] == 0
 
 
+def test_exact_dedup_member_cap_defuses_boilerplate(spark):
+    """VERDICT r3 item 3: one text duplicated 10^5 times must NOT
+    build a 10^5-element member array (the cap keeps the max_members
+    smallest ids; n_dups stays exact)."""
+    n = 100_000
+    big = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate text").alias("text"))
+    out = textops.exact_dedup(big, max_members=16).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_dups"] == n
+    assert row["canonical_id"] == 0
+    assert row["member_ids"] == list(range(16))
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = textops.minhash_lsh_pairs(docs, bands=6, n_hashes=12).toPandas()
     got = set(map(tuple, pairs[["id1", "id2"]].values.tolist()))
