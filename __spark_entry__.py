@@ -5,6 +5,10 @@ entry(spark)   — flagship: full engine path (inverted-index build over
                  then BM25 top-k via segment scan + block decode).
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-pipeline extras), each (spark, sf_dir) -> DF.
+                 Exactly 50 entries: the driver samples the first 50,
+                 so the 5 redundant-coverage entries listed in
+                 oracle_suite.EXCLUDED_FROM_DRIVER are exposed only to
+                 the local full-registry replica (COVERAGE.md).
 oracle_sql()   — DuckDB-equivalent SQL per query, identical aliases.
 """
 
@@ -14,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkbm25.oracle_suite import QUERIES
+from sparkbm25.oracle_suite import DRIVER_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,8 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+    return {name: fn for name, (fn, _sql) in DRIVER_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in DRIVER_QUERIES.items()
+            if sql is not None}

@@ -119,6 +119,100 @@ def get_interpreter(name: str) -> type:
             f"({', '.join(sorted(INTERPRETERS))})") from None
 
 
+class PipelineInterpreter:
+    """Multi-hop interpreter composition: folds translate_batch through
+    a sequence of registered interpreters — the engine analog of the
+    reference translating through an intermediary language pair
+    (apertium.py:105-114 pairs_pipeline; translate() pipes the text
+    through each pair sequentially). The composed pipeline is itself an
+    Interpreter, so the whole index job (resume gate, mapInPandas
+    model-map, nested-array write-back) runs unchanged — the hops
+    execute inside ONE Arrow batch pass, not one job per hop."""
+
+    def __init__(self, steps: list[Interpreter], name: str | None = None):
+        if not steps:
+            raise ValueError("PipelineInterpreter needs at least one step")
+        self.steps = list(steps)
+        self.name = name or "+".join(s.name for s in self.steps)
+
+    def translate_batch(self, texts: pd.Series) -> pd.Series:
+        for step in self.steps:
+            texts = step.translate_batch(texts)
+        return texts
+
+
+# ---------------------------------------------------------------------------
+# language-pair graph: intermediary search (SURVEY J3's documented
+# driver-side idiom — the graph is tiny, never a DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def lang_tree(lang: str, pairs: list[list[str]], depth: int = 2) -> dict:
+    """Tree of language connections reachable from `lang` through the
+    available pairs (reference apertium.py:264-280, byte-for-byte
+    semantics: a pair is an undirected edge; children keep the pairs'
+    list order; recursion bounded by depth)."""
+    tree: dict = {"lang": lang, "children": {}}
+    for pair in pairs:
+        if lang in pair and depth > 0:
+            child_lang = next(item for item in pair if item != lang)
+            tree["children"][child_lang] = lang_tree(child_lang, pairs, depth - 1)
+    return tree
+
+
+def leaf_has_lang(leaf: dict, lang: str) -> bool:
+    """True when `lang` appears in the leaf's subtree (reference
+    apertium.py leaf_has_lang)."""
+    children = leaf["children"].values()
+    return lang in leaf["children"] or any(
+        leaf_has_lang(child, lang) for child in children)
+
+
+def first_pairs_path(leaf: dict, lang: str) -> list[str]:
+    """First DFS path (in child insertion order) from the tree root to
+    `lang` (reference apertium.py first_pairs_path)."""
+    path: list[str] = []
+    for child_leaf in leaf["children"].values():
+        if leaf_has_lang(child_leaf, lang):
+            path.append(child_leaf["lang"])
+            path = path + first_pairs_path(child_leaf, lang)
+            break
+    return path
+
+
+def find_intermediary(source: str, target: str, pairs: list[str]) -> str:
+    """Pick the intermediary language for an indirect translation: the
+    first hop of the first source->target path in the pair graph — the
+    reference's auto-selection (apertium.py:162-169: lang_tree over the
+    remote pairs, then first_pairs_path(...)[0])."""
+    trunk = [p.split("-") for p in pairs]
+    tree = lang_tree(source, trunk)
+    path = first_pairs_path(tree, target)
+    if not path:
+        raise ValueError(
+            f"no path from {source!r} to {target!r} in the available pairs")
+    return path[0]
+
+
+def pairs_pipeline(source: str, target: str, available_pairs: list[str],
+                   intermediary: str | None = None) -> list[str]:
+    """The alpha-3 pair sequence a translation must hop through
+    (reference apertium.py:105-114): the direct pair when available,
+    else source->intermediary, intermediary->target, auto-selecting
+    the intermediary from the pair graph when not given. Pairs are
+    alpha-3 'src-tgt' codes (alpha.to_alpha_3_pair formatting)."""
+    from sparkbm25.alpha import to_alpha_3, to_alpha_3_pair
+
+    direct = to_alpha_3_pair(f"{source}-{target}")
+    if intermediary is None and direct in available_pairs:
+        return [direct]
+    s3, t3 = to_alpha_3(source), to_alpha_3(target)
+    if intermediary is None:
+        intermediary = find_intermediary(s3, t3, available_pairs)
+    i3 = to_alpha_3(intermediary)
+    return [f"{s3}-{i3}", f"{i3}-{t3}"]
+
+
 def translate_turns(
     transcripts: DataFrame,
     interpreter: Interpreter,

@@ -115,6 +115,46 @@ def test_annotate_rewrites_only_affected_blocks(spark, tmp_path):
     assert len(got) == 10 and set(got["name"]) == {"tag"}
 
 
+def test_pair_graph_and_pipeline_interpreter():
+    """Reference parity for the intermediary machinery
+    (apertium.py:105-114 pairs_pipeline, :264-311 lang_tree/
+    first_pairs_path; test_apertium.py:33 builds por->eng via cat):
+    direct pairs stay one hop, missing pairs auto-select the first
+    DFS intermediary, and PipelineInterpreter folds the hops."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparkbm25.translate import (PipelineInterpreter,
+                                     ReverseTokenInterpreter,
+                                     find_intermediary, lang_tree,
+                                     first_pairs_path, pairs_pipeline)
+
+    pairs = ["eng-spa", "spa-eng", "por-cat", "cat-eng", "por-glg"]
+    # direct pair available -> single hop, alpha-3 formatted
+    assert pairs_pipeline("en", "es", pairs) == ["eng-spa"]
+    # no direct por-eng: the pair graph picks cat (first DFS path)
+    assert find_intermediary("por", "eng", pairs) == "cat"
+    assert pairs_pipeline("pt", "en", pairs) == ["por-cat", "cat-eng"]
+    # an explicit intermediary short-circuits the search
+    assert pairs_pipeline("pt", "en", [], intermediary="cat") == [
+        "por-cat", "cat-eng"]
+    # tree shape matches the reference traversal (undirected edges,
+    # pair-list order, bounded depth)
+    tree = lang_tree("por", [p.split("-") for p in pairs])
+    assert list(tree["children"]) == ["cat", "glg"]
+    assert first_pairs_path(tree, "eng") == ["cat"]
+    with _pytest.raises(ValueError, match="no path"):
+        find_intermediary("por", "zho", pairs)
+    # two reverse hops compose to the identity on analyzed text
+    p2 = PipelineInterpreter(
+        [ReverseTokenInterpreter(), ReverseTokenInterpreter()], name="rev2")
+    out = p2.translate_batch(pd.Series(["Hello, World 42", ""]))
+    assert out.tolist() == ["hello world 42", ""]
+    assert PipelineInterpreter([ReverseTokenInterpreter()]).name == "rev"
+    with _pytest.raises(ValueError, match="at least one"):
+        PipelineInterpreter([])
+
+
 def test_annotate_swap_crash_window_repairs(spark, tmp_path):
     """ADVICE r3: a crash between rename(dst -> aside) and
     rename(src -> dst) leaves a doc_block partition missing from the
