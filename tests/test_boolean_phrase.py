@@ -89,12 +89,18 @@ def test_searcher_routes_hot_terms_to_batch(spark, built):
     common = t["text"].iloc[0].lower().split()[0]
     out = s_small.search(common, k=5)
     assert s_small.last_path == "batch" and len(out) == 5
-    # same query under the default budget stays on the WAND driver path
+    # same query under the default budget stays on the driver path
     s_big = Searcher(spark, d)
     out2 = s_big.search(common, k=5)
-    assert s_big.last_path == "wand"
+    assert s_big.last_path == "maxscore"
     assert out["conv_id"].tolist() == out2["conv_id"].tolist()
     np.testing.assert_allclose(out["score"], out2["score"], rtol=1e-9)
+    # the block-max WAND twin answers identically
+    s_wand = Searcher(spark, d, or_algo="wand")
+    out3 = s_wand.search(common, k=5)
+    assert s_wand.last_path == "wand"
+    assert out["conv_id"].tolist() == out3["conv_id"].tolist()
+    np.testing.assert_allclose(out["score"], out3["score"], rtol=1e-9)
 
 
 def test_update_index_survives_crashed_generation(spark, tmp_path):

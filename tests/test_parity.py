@@ -52,8 +52,12 @@ def test_batch_parity(spark, corpus, queries, built, mode):
 
 
 @pytest.mark.parametrize("mode", ["or", "and"])
-def test_wand_parity(spark, corpus, queries, built, mode):
-    searcher = Searcher(spark, built)
+@pytest.mark.parametrize("algo", ["maxscore", "wand"])
+def test_driver_parity(spark, corpus, queries, built, mode, algo):
+    """Both driver OR algorithms — chunked vectorized MaxScore (the
+    default) and block-max WAND (the block-metadata twin) — must be
+    rank-identical with oracle-equal scores."""
+    searcher = Searcher(spark, built, or_algo=algo)
     exp = bm25_reference_topk(corpus, queries, k=10, mode=mode)
     for q in queries.itertuples(index=False):
         got = searcher.search(q.query_text, k=10, mode=mode)
