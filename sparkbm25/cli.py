@@ -35,10 +35,22 @@ def _spark(master: str | None, app: str):
     return b.getOrCreate()
 
 
+def _wire_logging(args) -> None:
+    """Attach the reference's operational log handlers when requested
+    (es_translator/cli.py:195,258: --syslog-address wires a syslog
+    handler before the job runs)."""
+    from sparkbm25 import logger as lg
+
+    if getattr(args, "syslog_address", None):
+        lg.add_syslog_handler(args.syslog_address,
+                              getattr(args, "syslog_port", 514))
+
+
 def cmd_build(args) -> int:
     from sparkbm25.build import build_index
     from sparkbm25.config import IndexConfig
 
+    _wire_logging(args)
     spark = _spark(args.master, "sparkbm25-build")
     from sparkbm25.config import parse_size
 
@@ -71,6 +83,10 @@ def cmd_build(args) -> int:
         return 0
     res = build_index(spark, df, args.index, cfg, resume=args.resume,
                       input_desc=args.input)
+    from sparkbm25.logger import logger
+
+    logger.info("build done: %d docs in %.2fs (%.1f turns/s) -> %s",
+                res.n_docs, res.seconds, res.turns_per_sec, args.index)
     print(json.dumps({
         "n_docs": res.n_docs, "avgdl": res.avgdl,
         "seconds": round(res.seconds, 2),
@@ -105,6 +121,7 @@ def cmd_translate(args) -> int:
     from sparkbm25.translate import (get_interpreter, pending_turns,
                                      translate_into_index)
 
+    _wire_logging(args)
     interp_cls = get_interpreter(args.interpreter)
     interp = interp_cls()
     spark = _spark(args.master, "sparkbm25-translate")
@@ -121,6 +138,10 @@ def cmd_translate(args) -> int:
                           "interpreter": interp.name, "resume": resume}))
         return 0
     n = translate_into_index(spark, args.index, df, interp, resume=resume)
+    from sparkbm25.logger import logger
+
+    logger.info("translate done: %d turns via %s -> %s",
+                n, interp.name, args.index)
     print(json.dumps({"translated": n, "interpreter": interp.name,
                       "resume": resume}))
     return 0
@@ -203,6 +224,9 @@ def main(argv=None) -> int:
                     help="truncate text to this many chars before "
                          "tokenizing (C4; e.g. 100K)")
     pb.add_argument("--master", default=None)
+    pb.add_argument("--syslog-address", default=None,
+                    help="forward logs to this syslog host (ref cli.py:195)")
+    pb.add_argument("--syslog-port", type=int, default=514)
     pb.set_defaults(fn=cmd_build)
 
     pt = sub.add_parser(
@@ -222,6 +246,9 @@ def main(argv=None) -> int:
     pt.add_argument("--max-content-length", default=None, metavar="N[K|M|G]",
                     help="truncate text before translating (e.g. 100K)")
     pt.add_argument("--master", default=None)
+    pt.add_argument("--syslog-address", default=None,
+                    help="forward logs to this syslog host (ref cli.py:258)")
+    pt.add_argument("--syslog-port", type=int, default=514)
     pt.set_defaults(fn=cmd_translate)
 
     ps = sub.add_parser("search", help="BM25 top-k query")

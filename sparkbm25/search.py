@@ -1303,23 +1303,29 @@ class Searcher:
 
     @staticmethod
     def _intersect_and(cursors: list[_Cursor], k: int, k1: float, b: float, avgdl: float):
-        """Leapfrog intersection, rarest list drives (J4: smallest-first)."""
-        heap: list[tuple[float, int]] = []
-        if not cursors:
+        """Vectorized intersection, rarest list drives (J4:
+        smallest-first): the rarest cursor's doc array filters through
+        each other cursor via one searchsorted membership pass — the
+        numpy shape of leapfrog — then scoring and exact top-k
+        (score desc, doc asc) are whole-array ops. Candidates never
+        exceed the rarest list's length, so memory is bounded by the
+        most selective term."""
+        if not cursors or any(c.total == 0 for c in cursors):
             return []
-        while all(c.cur < _INF_DOC for c in cursors):
-            target = max(c.cur for c in cursors)
-            aligned = True
-            for c in cursors:
-                if c.next_geq(target) != target:
-                    aligned = False
-                    break
-            if aligned:
-                score = sum(c.score_current(k1, b, avgdl) for c in cursors)
-                item = (score, -target)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-                cursors[0].advance()
-        return [(s, -nd) for s, nd in sorted(heap, reverse=True)]
+        cs = sorted(cursors, key=lambda c: c.total)
+        cand = cs[0].all_docs
+        for c in cs[1:]:
+            idx = np.searchsorted(c.all_docs, cand, side="left")
+            idx_c = np.clip(idx, 0, c.total - 1)
+            cand = cand[c.all_docs[idx_c] == cand]
+            if cand.size == 0:
+                return []
+        scores = np.zeros(cand.size)
+        # fixed summation order (the caller's sorted-term cursor list)
+        for c in cursors:
+            idx = np.searchsorted(c.all_docs, cand, side="left")
+            tf = c.all_tfs[idx].astype(np.float64)
+            dl = c.all_dls[idx].astype(np.float64)
+            scores += c.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        order = np.lexsort((cand, -scores))[:k]
+        return [(float(scores[i]), int(cand[i])) for i in order]

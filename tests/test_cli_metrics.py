@@ -82,6 +82,34 @@ def test_parse_size_suffixes():
             parse_size(bad)
 
 
+def test_logger_surface():
+    """The reference's logging surface (logger.py:14-50), stdlib-only:
+    a real SysLogHandler datagram lands on a local UDP socket with the
+    reference's exact format."""
+    import logging
+    import socket
+
+    from sparkbm25 import logger as lg
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(5)
+    port = sock.getsockname()[1]
+    h = lg.add_syslog_handler("127.0.0.1", port)
+    h2 = lg.add_stdout_handler(level=logging.CRITICAL)
+    try:
+        lg.logger.info("hello from sparkbm25")
+        data, _ = sock.recvfrom(4096)
+        msg = data.decode()
+        assert "hello from sparkbm25" in msg
+        assert ":: sparkbm25 :: INFO ::" in msg
+    finally:
+        lg.logger.removeHandler(h)
+        lg.logger.removeHandler(h2)
+        h.close()
+        sock.close()
+
+
 def test_alpha_code_map():
     from sparkbm25 import alpha
 
