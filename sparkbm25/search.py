@@ -892,6 +892,20 @@ class Searcher:
         self.max_cached_dict_rows = max_cached_dict_rows
         self._df_cache: dict[str, int] | None = None
         self._df_cache_checked = False
+        # LRU posting-blocks cache keyed by term: an interactive
+        # session repeats vocabulary, and the per-query fetch job
+        # (0.2-0.4 s) is the latency floor once scoring is vectorized.
+        # Bounded by TOTAL CACHED POSTINGS (not terms), so one hot
+        # stopword can't blow the driver; 0 disables.
+        self.cache_postings_budget = 5_000_000
+        self._post_cache: dict[str, tuple[list, int]] = {}
+        self._post_cache_postings = 0
+        # doc_ord -> (conv_id, turn_idx) resolve cache (LRU, bounded
+        # entries): each search resolves <= k ords, and interactive
+        # sessions re-hit the same heads — a warm query then runs
+        # ZERO Spark jobs
+        self.doc_cache_max = 200_000
+        self._doc_cache: dict[int, tuple] = {}
         self.last_path: str | None = None
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(index_dir)
         # per-generation segment DataFrames created ONCE: repeated
@@ -915,6 +929,9 @@ class Searcher:
         append or in-place compaction). Returns self."""
         self._df_cache = None
         self._df_cache_checked = False
+        self._post_cache.clear()
+        self._post_cache_postings = 0
+        self._doc_cache.clear()
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(self.index_dir)
         self._seg_dfs = [
             self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
@@ -997,7 +1014,45 @@ class Searcher:
         term (sum of per-salt n_docs). Routing is the client-side
         term-bucket hash — the analog of ES routing a query to the
         right shard — so no dictionary round-trip precedes the
-        postings fetch."""
+        postings fetch.
+
+        Warm terms serve from the LRU posting cache (bounded by
+        cache_postings_budget TOTAL postings) — a query whose vocab
+        was seen recently skips the Spark job entirely."""
+        cached: dict[str, list] = {}
+        cached_dfs: dict[str, int] = {}
+        missing = []
+        for t in terms:
+            hit = self._post_cache.get(t)
+            if hit is not None:
+                # refresh LRU recency
+                self._post_cache.pop(t)
+                self._post_cache[t] = hit
+                cached[t], cached_dfs[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return cached, cached_dfs
+        post, dfs = self._fetch_postings_scan(missing)
+        # insert misses; evict least-recently-used first (plain dict
+        # preserves insertion order and hits re-insert above)
+        for t in post:
+            n = dfs[t]
+            if not (0 < n <= self.cache_postings_budget):
+                continue
+            while (self._post_cache_postings + n > self.cache_postings_budget
+                   and self._post_cache):
+                old_t = next(iter(self._post_cache))
+                _, old_n = self._post_cache.pop(old_t)
+                self._post_cache_postings -= old_n
+            self._post_cache[t] = (post[t], n)
+            self._post_cache_postings += n
+        cached.update(post)
+        cached_dfs.update(dfs)
+        return cached, cached_dfs
+
+    def _fetch_postings_scan(self, terms: list[str]) -> tuple[dict[str, list], dict[str, int]]:
+        """The actual pruned fetch job (cache-miss path)."""
         # block-max metadata was encoded with each generation's avgdl;
         # inflate by max(1, avgdl_global/avgdl_gen) so the stored upper
         # bound stays sound under the global stats
@@ -1069,19 +1124,26 @@ class Searcher:
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         results.sort(key=lambda x: (-x[0], x[1]))
         ords = [d for _, d in results]
-        blocks = sorted({d // self.cfg.doc_block_size for d in ords})
-        docs = (
-            catalog.read_docs(self.spark, self.index_dir)
-            .where(F.col("doc_block").isin(blocks))
-            .where(F.col("doc_ord").isin(ords))
-            .select("doc_ord", "conv_id", "turn_idx").toPandas()
-            .set_index("doc_ord")
-        )
+        missing = sorted({d for d in ords if d not in self._doc_cache})
+        if missing:
+            blocks = sorted({d // self.cfg.doc_block_size for d in missing})
+            docs = (
+                catalog.read_docs(self.spark, self.index_dir)
+                .where(F.col("doc_block").isin(blocks))
+                .where(F.col("doc_ord").isin(missing))
+                .select("doc_ord", "conv_id", "turn_idx").toPandas()
+            )
+            for row in docs.itertuples(index=False):
+                while len(self._doc_cache) >= self.doc_cache_max:
+                    self._doc_cache.pop(next(iter(self._doc_cache)))
+                self._doc_cache[int(row.doc_ord)] = (row.conv_id,
+                                                     int(row.turn_idx))
+        resolved = [self._doc_cache[d] for d in ords]
         out = pd.DataFrame(
             {
                 "rank": np.arange(1, len(results) + 1, dtype=np.int32),
-                "conv_id": [docs.loc[d, "conv_id"] for _, d in results],
-                "turn_idx": [int(docs.loc[d, "turn_idx"]) for _, d in results],
+                "conv_id": [r[0] for r in resolved],
+                "turn_idx": [r[1] for r in resolved],
                 "score": [s for s, _ in results],
             }
         )

@@ -103,6 +103,29 @@ def test_searcher_routes_hot_terms_to_batch(spark, built):
     np.testing.assert_allclose(out["score"], out3["score"], rtol=1e-9)
 
 
+def test_postings_cache_skips_fetch(spark, built):
+    """Warm terms serve from the bounded LRU posting cache: the second
+    identical search must not touch the fetch scan at all, and a
+    budget too small for any term keeps the cache empty."""
+    t, d, _ = built
+    s = Searcher(spark, d)
+    common = t["text"].iloc[0].lower().split()[2]
+    out1 = s.search(common, k=5)
+    assert s._post_cache and s._post_cache_postings > 0
+
+    def boom(terms):
+        raise AssertionError("fetch scan ran despite a warm cache")
+
+    s._fetch_postings_scan = boom
+    out2 = s.search(common, k=5)
+    assert out1["conv_id"].tolist() == out2["conv_id"].tolist()
+    np.testing.assert_allclose(out1["score"], out2["score"], rtol=1e-12)
+    s2 = Searcher(spark, d)
+    s2.cache_postings_budget = 1  # nothing fits
+    s2.search(common, k=5)
+    assert not s2._post_cache
+
+
 def test_update_index_survives_crashed_generation(spark, tmp_path):
     import os
 
