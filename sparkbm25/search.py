@@ -1025,20 +1025,29 @@ class Searcher:
         for t in terms:
             hit = self._post_cache.get(t)
             if hit is not None:
-                # refresh LRU recency
+                # refresh LRU recency; known-absent terms (negative
+                # cache, df 0) stay omitted from the result like the
+                # scan omits them
                 self._post_cache.pop(t)
                 self._post_cache[t] = hit
-                cached[t], cached_dfs[t] = hit
+                if hit[1] > 0:
+                    cached[t], cached_dfs[t] = hit
             else:
                 missing.append(t)
         if not missing:
             return cached, cached_dfs
         post, dfs = self._fetch_postings_scan(missing)
         # insert misses; evict least-recently-used first (plain dict
-        # preserves insertion order and hits re-insert above)
-        for t in post:
-            n = dfs[t]
-            if not (0 < n <= self.cache_postings_budget):
+        # preserves insertion order and hits re-insert above). Terms
+        # the scan proved ABSENT are cached as empty at zero budget
+        # cost, so repeated misses never rescan.
+        for t in missing:
+            n = dfs.get(t, 0)
+            if n == 0:
+                if self.cache_postings_budget > 0:
+                    self._post_cache[t] = ([], 0)
+                continue
+            if n > self.cache_postings_budget:
                 continue
             while (self._post_cache_postings + n > self.cache_postings_budget
                    and self._post_cache):
@@ -1098,7 +1107,15 @@ class Searcher:
         probe_dfs = self._probe_dfs(sorted(counts))
         if sum(probe_dfs.values()) > self.max_driver_postings:
             return self._via_batch(query_text, k, mode)
-        postings, dfs = self._fetch_postings(sorted(counts))
+        # fetch only terms the probe saw: absent terms never cost a
+        # scan, and an AND query missing a term short-circuits before
+        # any postings move
+        present_probe = sorted(t for t in counts if probe_dfs.get(t, 0) > 0)
+        if not present_probe or (
+                mode == "and" and len(present_probe) < len(counts)):
+            self.last_path = None
+            return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        postings, dfs = self._fetch_postings(present_probe)
         present = sorted(t for t in counts if t in dfs)
         if mode == "and" and len(present) < len(counts):
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
