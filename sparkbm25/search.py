@@ -740,42 +740,35 @@ def search_batch(
 _INF_DOC = 2 ** 62
 
 
-class _Cursor:
-    """Posting cursor over a term's block list, backed by flat arrays.
+class _TermPostings:
+    """One term's postings, fully decoded into flat read-only arrays —
+    the unit of the Searcher's posting cache, so decode happens once
+    per TERM, not once per query.
 
     Block i covers doc_ords in [first_doc[i], first_doc[i+1]) — blocks
     are doc-range ordered because salt buckets are range-disjoint and
     blocks are emitted in doc order inside each salt run.
 
     Decode is EAGER and batched: all blocks' gaps/tfs/dls streams are
-    concatenated and varint-decoded in ONE vectorized pass at
-    construction. Round-3 decoded lazily per block, but at 128-doc
-    granularity the per-call numpy overhead dominated (~100µs/block ≈
-    1.3M postings/s) and became THE interactive latency once the BMW
-    scoring loop was vectorized; one batched pass decodes the same
-    postings ~50× faster. The blocks were already fetched to the
-    driver (IO paid), so laziness saved only this CPU. Per-block
-    max_impact/first_doc metadata is kept for the BMW bound math,
-    which now skips scoring work, not decode work.
+    concatenated and varint-decoded in ONE vectorized pass. Round-3
+    decoded lazily per block, but at 128-doc granularity the per-call
+    numpy overhead dominated (~100µs/block ≈ 1.3M postings/s) and
+    became THE interactive latency once scoring was vectorized; one
+    batched pass decodes the same postings ~50× faster, and caching
+    the decoded arrays removes even that from warm queries. tfs/dls
+    are stored float64 so scoring never pays a per-query astype copy.
+    Per-block max_impact/first_doc metadata is kept for the BMW bound
+    math."""
 
-    The cursor state is a single flat position `gpos` with `cur`
-    mirroring all_docs[gpos] as a plain int attribute: the BMW outer
-    loop reads the current doc millions of times, and property-call
-    overhead on it measurably dominated skip-heavy queries.
-    """
+    __slots__ = ("firsts", "max_impacts", "firsts_np", "max_np",
+                 "starts", "all_docs", "all_tfs", "all_dls", "total", "n")
 
-    __slots__ = ("weight", "firsts", "max_impacts", "firsts_np", "max_np",
-                 "starts", "all_docs", "all_tfs", "all_dls", "total", "n",
-                 "gpos", "cur")
-
-    def __init__(self, blocks: list, weight: float):
+    def __init__(self, blocks: list):
         blocks = sorted(blocks, key=lambda blk: blk["first_doc"] if isinstance(blk, dict) else blk.first_doc)
-        self.weight = weight  # qtf * idf * (k1+1)
         get = ((lambda blk, k: blk[k]) if (blocks and isinstance(blocks[0], dict))
                else (lambda blk, k: getattr(blk, k)))
         self.firsts = [get(blk, "first_doc") for blk in blocks]
         self.max_impacts = [float(get(blk, "max_impact")) for blk in blocks]
-        # numpy twins for the vectorized skip sweep in _wand_or
         self.firsts_np = np.asarray(self.firsts, dtype=np.int64)
         self.max_np = np.asarray(self.max_impacts, dtype=np.float64)
         self.n = len(blocks)
@@ -790,9 +783,9 @@ class _Cursor:
 
         gaps = varint_decode(b"".join(get(blk, "gaps") for blk in blocks))
         self.all_tfs = varint_decode(
-            b"".join(get(blk, "tfs") for blk in blocks)).astype(np.int64)
+            b"".join(get(blk, "tfs") for blk in blocks)).astype(np.float64)
         self.all_dls = varint_decode(
-            b"".join(get(blk, "dls") for blk in blocks)).astype(np.int64)
+            b"".join(get(blk, "dls") for blk in blocks)).astype(np.float64)
         # grouped cumsum with a reset at every block start: gfull holds
         # the absolute first_doc at starts and the gaps elsewhere, so
         # docs = cumsum(gfull) rebased per block
@@ -808,8 +801,37 @@ class _Cursor:
             self.all_docs = cs - np.repeat(base, ns)
         else:
             self.all_docs = np.empty(0, dtype=np.int64)
+
+
+class _Cursor:
+    """Per-query cursor over a (shared, read-only) _TermPostings.
+
+    The cursor state is a single flat position `gpos` with `cur`
+    mirroring all_docs[gpos] as a plain int attribute: the BMW outer
+    loop reads the current doc millions of times, and property-call
+    overhead on it measurably dominated skip-heavy queries.
+    """
+
+    __slots__ = ("weight", "firsts", "max_impacts", "firsts_np", "max_np",
+                 "starts", "all_docs", "all_tfs", "all_dls", "total", "n",
+                 "gpos", "cur")
+
+    def __init__(self, postings, weight: float):
+        tp = postings if isinstance(postings, _TermPostings) \
+            else _TermPostings(postings)
+        self.weight = weight  # qtf * idf * (k1+1)
+        self.firsts = tp.firsts
+        self.max_impacts = tp.max_impacts
+        self.firsts_np = tp.firsts_np
+        self.max_np = tp.max_np
+        self.starts = tp.starts
+        self.all_docs = tp.all_docs
+        self.all_tfs = tp.all_tfs
+        self.all_dls = tp.all_dls
+        self.total = tp.total
+        self.n = tp.n
         self.gpos = 0
-        self.cur = int(self.all_docs[0]) if total else _INF_DOC
+        self.cur = int(self.all_docs[0]) if self.total else _INF_DOC
 
     @property
     def exhausted(self) -> bool:
@@ -1081,7 +1103,9 @@ class Searcher:
                     blk["max_impact"] = min(1.0, blk["max_impact"] * inflate)
             post.setdefault(r["term"], []).extend(blks)
             dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
-        return post, dfs
+        # decode once here: the cache (and every cursor built from it)
+        # shares the flat arrays — warm queries never touch varints
+        return {t: _TermPostings(b) for t, b in post.items()}, dfs
 
     def search(self, query_text: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
         """-> pandas (rank, conv_id, turn_idx, score). Accepts
@@ -1254,8 +1278,8 @@ class Searcher:
                 lo = c.gpos
                 hi = lo + int(np.searchsorted(
                     c.all_docs[lo:], range_end, side="left"))
-                tf = c.all_tfs[lo:hi].astype(np.float64)
-                dl = c.all_dls[lo:hi].astype(np.float64)
+                tf = c.all_tfs[lo:hi]
+                dl = c.all_dls[lo:hi]
                 cand_docs.append(c.all_docs[lo:hi])
                 cand_scores.append(
                     c.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
@@ -1351,24 +1375,43 @@ class Searcher:
                                             side="right"))
                 cand_parts.append(c.all_docs[g:h])
                 c.gpos = h
-            cand = np.unique(np.concatenate(cand_parts))
+            if len(cand_parts) == 1:
+                # single essential cursor: its slice IS the (unique,
+                # sorted) candidate set — no merge needed
+                cand = cand_parts[0]
+            else:
+                cand = np.unique(np.concatenate(cand_parts))
             scores = np.zeros(cand.size)
-            for c in cs:
+            for ci, c in enumerate(cs):
+                if len(cand_parts) == 1 and ci == len(cs) - 1 and ne == len(cs) - 1:
+                    # the lone essential cursor aligns 1:1 with cand
+                    lo = c.gpos - cand.size
+                    tf = c.all_tfs[lo:c.gpos]
+                    dl = c.all_dls[lo:c.gpos]
+                    scores += c.weight * tf / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl))
+                    continue
                 idx = np.searchsorted(c.all_docs, cand, side="left")
                 idx_c = np.clip(idx, 0, c.total - 1)
                 m = c.all_docs[idx_c] == cand
                 if not m.any():
                     continue
-                tf = c.all_tfs[idx_c][m].astype(np.float64)
-                dl = c.all_dls[idx_c][m].astype(np.float64)
+                tf = c.all_tfs[idx_c][m]
+                dl = c.all_dls[idx_c][m]
                 scores[m] += c.weight * tf / (
                     tf + k1 * (1.0 - b + b * dl / avgdl))
             if len(heap) >= k:
                 keep = scores >= heap[0][0]
                 cand, scores = cand[keep], scores[keep]
             if cand.size > k:
-                # exact chunk top-k incl. doc-asc tie-break before the
-                # python heap merge (lexsort keys: last is primary)
+                # exact chunk top-k incl. doc-asc tie-break: threshold
+                # by the kth score first (argpartition), lexsort only
+                # the >= -threshold survivors (tie group included) —
+                # a full lexsort of a large first chunk cost more than
+                # the scoring itself
+                thr = np.partition(scores, scores.size - k)[scores.size - k]
+                m = scores >= thr
+                cand, scores = cand[m], scores[m]
                 order = np.lexsort((cand, -scores))[:k]
                 cand, scores = cand[order], scores[order]
             for d, sc in zip(cand.tolist(), scores.tolist()):
@@ -1403,8 +1446,8 @@ class Searcher:
         # fixed summation order (the caller's sorted-term cursor list)
         for c in cursors:
             idx = np.searchsorted(c.all_docs, cand, side="left")
-            tf = c.all_tfs[idx].astype(np.float64)
-            dl = c.all_dls[idx].astype(np.float64)
+            tf = c.all_tfs[idx]
+            dl = c.all_dls[idx]
             scores += c.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
         order = np.lexsort((cand, -scores))[:k]
         return [(float(scores[i]), int(cand[i])) for i in order]
