@@ -381,6 +381,53 @@ SELECT doc_id, CAST(rank AS INT) AS rank,
 FROM ranked WHERE rank <= {TOPK}
 """
 
+def q_bm25_or_not_all(spark, sf_dir):
+    """Mixed boolean tree that ACCEPTS THE EMPTY MASK: 'spark OR NOT
+    join' — docs containing spark score BM25; docs containing neither
+    term are accepted through the NOT branch at constant score 0.0
+    (no scoring clause matched), ranked after every scored doc in doc
+    order; docs containing only 'join' are rejected. This is the
+    ES/Lucene semantics round 3 silently dropped (ADVICE r3 medium:
+    accept_empty was only honored for trees with no positive leaf)."""
+    return _bm25_query_df(spark, sf_dir, "spark OR NOT join")
+
+
+SQL_BM25_OR_NOT_ALL = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE term = 'spark' GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pos_scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+neither AS (
+  SELECT d.doc_id, 0.0 AS score FROM documents d
+  WHERE d.doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM toks2 WHERE term IN ('spark', 'join'))
+),
+allrows AS (SELECT * FROM pos_scores UNION ALL SELECT * FROM neither),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM allrows
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 PHRASE = ("table", "hash")
 
 
@@ -2016,6 +2063,7 @@ QUERIES = {
     "bm25_topk_and": (q_bm25_topk_and, SQL_BM25_TOPK_AND),
     "bm25_wand": (q_bm25_wand, SQL_BM25_TOPK),
     "bm25_or_not": (q_bm25_or_not, SQL_BM25_OR_NOT),
+    "bm25_or_not_all": (q_bm25_or_not_all, SQL_BM25_OR_NOT_ALL),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
@@ -2069,6 +2117,7 @@ QUERIES = {
 # registry) and documented in COVERAGE.md.
 EXCLUDED_FROM_DRIVER = (
     "quality_counts",            # inputs of quality_score (checked)
+    "stopword_hits",             # stopword table shared with lang_id (checked)
     "ann_cosine_topk",           # brute baseline; lsh+ivf ANN checked
     "embedding_norms",           # trivial; every ANN entry covers it
     "orders_topk_per_customer",  # generic window top-k (O3 via bm25)

@@ -1267,9 +1267,15 @@ class Searcher:
             # cursor's postings in [pivot_doc, range_end) straight from
             # the flat decoded arrays (postings below pivot_doc are
             # skipped unscored — the pivot invariant says their
-            # cursors' total weight cannot beat theta)
+            # cursors' total weight cannot beat theta). Contributions
+            # concatenate in the ORIGINAL cursor order, not cur-sorted
+            # order: float summation order is then deterministic and
+            # bit-identical across _wand_or/_maxscore_or/brute force,
+            # so exact score ties rank identically everywhere
             cand_docs: list[np.ndarray] = []
             cand_scores: list[np.ndarray] = []
+            part_ids = {id(c) for c in part}
+            part = [c for c in cursors if id(c) in part_ids]
             for c in part:
                 if c.cur < pivot_doc:
                     c.next_geq(pivot_doc)
@@ -1376,15 +1382,22 @@ class Searcher:
                 cand_parts.append(c.all_docs[g:h])
                 c.gpos = h
             if len(cand_parts) == 1:
-                # single essential cursor: its slice IS the (unique,
-                # sorted) candidate set — no merge needed
+                # single alive essential cursor: its slice IS the
+                # (unique, sorted) candidate set — no merge, and its
+                # contribution aligns 1:1 without a searchsorted
                 cand = cand_parts[0]
+                aligned = alive[0]
             else:
                 cand = np.unique(np.concatenate(cand_parts))
+                aligned = None
             scores = np.zeros(cand.size)
-            for ci, c in enumerate(cs):
-                if len(cand_parts) == 1 and ci == len(cs) - 1 and ne == len(cs) - 1:
-                    # the lone essential cursor aligns 1:1 with cand
+            # score in the ORIGINAL cursor order (not weight order):
+            # deterministic float summation order, bit-identical with
+            # _wand_or and the brute-force oracle even on exact ties
+            for c in cursors:
+                if c.total == 0:
+                    continue
+                if c is aligned:
                     lo = c.gpos - cand.size
                     tf = c.all_tfs[lo:c.gpos]
                     dl = c.all_dls[lo:c.gpos]
