@@ -377,6 +377,33 @@ def test_or_not_includes_no_term_docs(spark, built):
     assert zkeys == sorted(zkeys)
 
 
+def test_or_not_with_filter(spark, built):
+    """Mixed accept-empty tree UNDER a structured filter:
+    'role:user (w1 OR NOT w2)' — empty-mask candidates must respect
+    the filter, scored docs keep BM25, zero-score docs come last in
+    doc order."""
+    t, d, texts = built
+    roles = {(r.conv_id, r.turn_idx): r.role for r in t.itertuples(index=False)}
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    n = len(t)
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f"role:user ({w1} OR NOT {w2})"],
+                      "k": [n]})
+    got = search_batch(spark, d, q, k=n).toPandas().sort_values("rank")
+    expect = {key for key in texts
+              if roles[key] == "user"
+              and (w1 in _words(texts, key) or w2 not in _words(texts, key))}
+    assert {(r.conv_id, r.turn_idx) for r in got.itertuples()} == expect
+    zero = got[got["score"] == 0.0]
+    for r in zero.itertuples():
+        ws = _words(texts, (r.conv_id, r.turn_idx))
+        assert w1 not in ws and w2 not in ws
+    pos = got[got["score"] > 0.0]
+    if len(pos) and len(zero):
+        assert pos["rank"].max() < zero["rank"].min()
+
+
 def test_expansion_guard_is_driver_bounded(spark, built):
     """VERDICT r3 item 2: the too-many-clauses guard fires from a
     limit(max_expansions+1) pushed into the scan — the driver never

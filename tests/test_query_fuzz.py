@@ -1,0 +1,244 @@
+"""Execution fuzz for the full query_string surface: randomized
+queries over every grammar shape (terms / OR / AND / NOT / phrases /
+prefix* / fuzzy~N / ^boosts / filters / ranges / filter-only /
+pure-negative-under-filter) run through search_batch and are checked
+against an INDEPENDENT pure-Python evaluator of the documented
+semantics (docstring contract in querystring.py):
+
+  * the boolean tree defines the candidate set over per-doc matched
+    leaves; score = Σ matched positive leaves' boost × BM25
+    contribution (phrase = sum of member terms; prefix/fuzzy = sum of
+    matched dictionary expansions, each with its own df);
+  * structured predicates restrict candidates, stats stay corpus-wide;
+  * docs accepted via the empty mask score 0.0; filter-only and
+    pure-negative candidates score 1.0.
+
+Scores compare at rtol 1e-9 per doc and result SETS must match
+exactly; rank order is checked for internal consistency (score desc,
+doc asc) rather than cross-compared, because float summation order
+legitimately differs at the ulp level between engines."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkbm25 import IndexConfig, build_index, search_batch
+from sparkbm25.analysis import tokenize_one
+from sparkbm25.fixtures import make_transcripts
+from sparkbm25.querystring import (And, Filter, Fuzzy, Not, Or, Phrase,
+                                   Prefix, Term, parse_query_string)
+from sparkbm25.search import _levenshtein
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    t = make_transcripts(400, seed=77)
+    d = str(tmp_path_factory.mktemp("fuzzidx") / "idx")
+    build_index(spark, spark.createDataFrame(t), d,
+                IndexConfig(store_positions=True, checkpoint_runs=False,
+                            n_term_buckets=4, n_salt_buckets=2),
+                input_desc="fuzz400")
+    docs = []
+    for r in t.sort_values(["conv_id", "turn_idx"],
+                           kind="mergesort").itertuples(index=False):
+        toks = tokenize_one(r.text)
+        docs.append({
+            "conv_id": r.conv_id, "turn_idx": int(r.turn_idx),
+            "role": r.role, "tool": r.tool,
+            "toks": toks, "tokset": set(toks), "dl": len(toks),
+        })
+    df_map: dict[str, int] = {}
+    for doc in docs:
+        for term in doc["tokset"]:
+            df_map[term] = df_map.get(term, 0) + 1
+    n = len(docs)
+    avgdl = sum(d_["dl"] for d_ in docs) / n
+    return t, d, docs, df_map, n, avgdl
+
+
+def _contrib(doc, term, df_map, n, avgdl):
+    tf = doc["toks"].count(term)
+    if tf == 0:
+        return 0.0
+    idf = float(np.log(1.0 + (n - df_map[term] + 0.5) / (df_map[term] + 0.5)))
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * doc["dl"] / avgdl))
+
+
+def _phrase_in(doc, terms):
+    toks = doc["toks"]
+    m = len(terms)
+    return any(toks[i:i + m] == terms for i in range(len(toks) - m + 1))
+
+
+def _eval_leaf(doc, leaf, df_map, n, avgdl, vocab):
+    """(matched, score_contribution) for one positive leaf."""
+    if isinstance(leaf, Term):
+        c = _contrib(doc, leaf.text, df_map, n, avgdl)
+        return (leaf.text in doc["tokset"],
+                leaf.boost * c)
+    if isinstance(leaf, Phrase):
+        if not _phrase_in(doc, list(leaf.terms)):
+            return False, 0.0
+        return True, leaf.boost * sum(
+            _contrib(doc, t, df_map, n, avgdl) for t in leaf.terms)
+    if isinstance(leaf, Prefix):
+        exp = [t for t in vocab if t.startswith(leaf.prefix)]
+        hit = [t for t in exp if t in doc["tokset"]]
+        return (bool(hit), leaf.boost * sum(
+            _contrib(doc, t, df_map, n, avgdl) for t in hit))
+    if isinstance(leaf, Fuzzy):
+        exp = [t for t in vocab if _levenshtein(t, leaf.term) <= leaf.max_edits]
+        hit = [t for t in exp if t in doc["tokset"]]
+        return (bool(hit), leaf.boost * sum(
+            _contrib(doc, t, df_map, n, avgdl) for t in hit))
+    raise TypeError(leaf)
+
+
+def _eval_tree(doc, node, df_map, n, avgdl, vocab):
+    """(accepted, score) — score is the sum over positive leaves the
+    doc matches anywhere in the tree (engine: disjunction-sum over
+    matched positive leaves; NOT leaves never score)."""
+    def accept(nd, neg=False):
+        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy)):
+            return _eval_leaf(doc, nd, df_map, n, avgdl, vocab)[0]
+        if isinstance(nd, Not):
+            return not accept(nd.child, not neg)
+        if isinstance(nd, And):
+            return all(accept(c, neg) for c in nd.children)
+        if isinstance(nd, Or):
+            return any(accept(c, neg) for c in nd.children)
+        raise TypeError(nd)
+
+    def pos_score(nd, neg=False):
+        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy)):
+            if neg:
+                return 0.0
+            m, s = _eval_leaf(doc, nd, df_map, n, avgdl, vocab)
+            return s if m else 0.0
+        if isinstance(nd, Not):
+            return pos_score(nd.child, not neg)
+        return sum(pos_score(c, neg) for c in nd.children)
+
+    return accept(node), pos_score(node)
+
+
+def _filters_ok(doc, filters, neg_filters):
+    def one(fld, val):
+        cur = doc[fld] if fld != "turn_idx" else doc["turn_idx"]
+        m = re.match(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", val, re.IGNORECASE)
+        if m:
+            lo, hi = m.group(1), m.group(2)
+            if fld == "turn_idx":
+                return ((lo == "*" or doc["turn_idx"] >= int(lo))
+                        and (hi == "*" or doc["turn_idx"] <= int(hi)))
+            return ((lo == "*" or str(cur) >= lo)
+                    and (hi == "*" or str(cur) <= hi))
+        if val.endswith("*"):
+            return cur is not None and str(cur).startswith(val[:-1])
+        if fld == "turn_idx":
+            return doc["turn_idx"] == int(val)
+        return cur == val
+
+    return (all(one(f, v) for f, v in filters)
+            and not any(one(f, v) for f, v in neg_filters))
+
+
+def _reference_eval(query_text, docs, df_map, n, avgdl, vocab):
+    """Full-result reference: list of (score, doc_index), engine
+    ordering (score desc, doc asc)."""
+    p = parse_query_string(query_text)
+    out = []
+    if p.tree is None:
+        if not p.has_filters:
+            return []
+        for i, doc in enumerate(docs):
+            if _filters_ok(doc, p.filters, p.neg_filters):
+                out.append((1.0, i))
+    elif not p.explicit:
+        # legacy implicit semantics (engine mode='or'): any matched
+        # term accepts; score = Σ qtf × contribution
+        from collections import Counter
+
+        counts = Counter(tokenize_one(p.text))
+        for i, doc in enumerate(docs):
+            if not _filters_ok(doc, p.filters, p.neg_filters):
+                continue
+            if not any(t in doc["tokset"] for t in counts):
+                continue
+            out.append((sum(qtf * _contrib(doc, t, df_map, n, avgdl)
+                            for t, qtf in counts.items()), i))
+    else:
+        from sparkbm25.querystring import collect_leaves
+
+        pos, _neg = collect_leaves(p.tree)
+        const_score = not pos  # pure-negative: constant 1.0
+        for i, doc in enumerate(docs):
+            if not _filters_ok(doc, p.filters, p.neg_filters):
+                continue
+            ok, score = _eval_tree(doc, p.tree, df_map, n, avgdl, vocab)
+            if ok:
+                out.append((1.0 if const_score else score, i))
+    out.sort(key=lambda x: (-x[0], x[1]))
+    return out
+
+
+def _gen_queries(rng, vocab):
+    """Randomized query shapes across the whole grammar."""
+    def w():
+        return rng.choice(vocab)
+
+    def rare():
+        return rng.choice(["zzqqx", "notaword", w()])
+
+    roles = ["user", "assistant", "system", "tool"]
+    shapes = [
+        lambda: f"{w()} {w()}",
+        lambda: f"{w()} OR {rare()}",
+        lambda: f"{w()} AND {w()}",
+        lambda: f"({w()} OR {w()}) AND NOT {w()}",
+        lambda: f"{w()} OR NOT {w()}",
+        lambda: f"role:{rng.choice(roles)} {w()}",
+        lambda: f"role:{rng.choice(roles)} AND NOT {w()}",
+        lambda: f"role:{rng.choice(roles)}",
+        lambda: f"NOT role:{rng.choice(roles)} {w()}",
+        lambda: f'"{w()} {w()}"',
+        lambda: f"{w()[:4]}*",
+        lambda: f"{w()}~1",
+        lambda: f"{w()}^2 OR {w()}",
+        lambda: f"turn_idx:[0 TO {int(rng.integers(0, 5))}] {w()}",
+        lambda: f"role:{rng.choice(roles)} ({w()} OR NOT {w()})",
+    ]
+    return [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(24)]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_query_string_execution_fuzz(spark, corpus, seed):
+    t, d, docs, df_map, n, avgdl = corpus
+    vocab = sorted(df_map)
+    rng = np.random.default_rng(seed)
+    texts = _gen_queries(rng, vocab)
+    q = pd.DataFrame({"query_id": range(len(texts)), "query_text": texts,
+                      "k": [n] * len(texts)})
+    got = search_batch(spark, d, q, k=n).toPandas()
+    key_of = {(doc["conv_id"], doc["turn_idx"]): i
+              for i, doc in enumerate(docs)}
+    for qid, qt in enumerate(texts):
+        exp = _reference_eval(qt, docs, df_map, n, avgdl, vocab)
+        g = got[got.query_id == qid].sort_values("rank")
+        gset = {key_of[(r.conv_id, r.turn_idx)] for r in g.itertuples()}
+        eset = {i for _, i in exp}
+        assert gset == eset, f"q{qid} {qt!r}: set mismatch " \
+            f"extra={sorted(gset - eset)[:5]} missing={sorted(eset - gset)[:5]}"
+        escore = dict((i, s) for s, i in exp)
+        for r in g.itertuples():
+            i = key_of[(r.conv_id, r.turn_idx)]
+            assert np.isclose(r.score, escore[i], rtol=1e-9, atol=1e-12), \
+                f"q{qid} {qt!r} doc{i}: {r.score} != {escore[i]}"
+        # engine ranking internally consistent: score desc, doc asc
+        rows = [(r.score, key_of[(r.conv_id, r.turn_idx)])
+                for r in g.itertuples()]
+        assert rows == sorted(rows, key=lambda x: (-x[0], x[1])), qt
