@@ -10,12 +10,15 @@ ranking — implemented natively:
     pruned segment scan, blocks decoded + scored in a vectorized Arrow
     stage, per-partition partial top-k, then a final window. This is
     the path the DuckDB oracle checks.
-  * interactive path (`Searcher.search`): one query on the driver with
-    lazy block decoding and lossless Block-Max-WAND pruning (OR mode)
-    / leapfrog posting intersection (AND mode). Only the posting
-    blocks of the query's terms are fetched (term_bucket partition
-    pruning + term predicate pushdown — the analog of ES routing a
-    query to the right shard).
+  * interactive path (`Searcher.search`): one query on the driver over
+    batch-decoded flat posting arrays — chunked vectorized MaxScore
+    (default) or its block-max WAND verification twin (OR mode,
+    `or_algo=`), vectorized intersection (AND mode); all pruning
+    lossless. Only the posting blocks of the query's terms are fetched
+    (term_bucket partition pruning + term predicate pushdown — the
+    analog of ES routing a query to the right shard), and bounded LRU
+    caches (decoded postings / df map / doc resolve) make warm
+    repeats run without any Spark job.
 
 Ranking contract (parity with refscore.bm25_reference_topk):
   score(q,d) = Σ_t qtf·idf·(k1+1)·tf / (tf + k1(1-b+b·dl/avgdl)),

@@ -202,6 +202,40 @@ def test_compact_generations_parity(spark, corpus, tmp_path):
                                    gb["score"].astype(float), rtol=1e-9)
 
 
+def test_searcher_refresh_invalidates_caches(spark, tmp_path):
+    """A warm Searcher (df map + decoded postings + doc resolve all
+    cached) re-bound via refresh() after an append must answer from
+    the GROWN index — stale caches would silently return the old
+    corpus's results."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkbm25 import IndexConfig, Searcher, search_batch
+    from sparkbm25.fixtures import make_transcripts
+    from sparkbm25.streaming import update_index
+
+    t = make_transcripts(400, seed=41)
+    root = str(tmp_path / "refr")
+    cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2, n_build_chunks=1)
+    update_index(spark, spark.createDataFrame(t.iloc[:200]), root, cfg)
+    s = Searcher(spark, root)
+    before = s.search("alpha w0001", k=10)     # warms every cache
+    assert s._post_cache and s._doc_cache
+    update_index(spark, spark.createDataFrame(t.iloc[200:]), root, cfg)
+    s.refresh()
+    assert not s._post_cache and not s._doc_cache and s._df_cache is None
+    after = s.search("alpha w0001", k=10)
+    # parity with the batch path over the grown index
+    exp = search_batch(spark, root, pd.DataFrame(
+        {"query_id": [0], "query_text": ["alpha w0001"], "k": [10]}),
+        k=10).toPandas().sort_values("rank")
+    assert after["conv_id"].tolist() == exp["conv_id"].tolist()
+    np.testing.assert_allclose(after["score"], exp["score"], rtol=1e-9)
+    # and the result really changed with the corpus (df/avgdl moved)
+    assert not np.allclose(before["score"].to_numpy()[:3],
+                           after["score"].to_numpy()[:3])
+
+
 def test_auto_compact_folds_generations(spark, tmp_path):
     """Tiered-merge policy: update_index(auto_compact_after=3) folds
     the generations in-place once 3 accumulate; results stay identical
