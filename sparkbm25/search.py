@@ -918,7 +918,10 @@ class _Cursor:
 
 
 class Searcher:
-    """Interactive single-query search with Block-Max WAND pruning.
+    """Interactive single-query search over driver-side flat posting
+    arrays: chunked vectorized MaxScore by default, block-max WAND as
+    its verification twin (`or_algo='wand'`), vectorized intersection
+    for AND mode — all lossless.
 
     max_driver_postings bounds the driver-side block collect: a cheap
     column-pruned df probe (term + n_docs only — parquet never reads
@@ -927,9 +930,12 @@ class Searcher:
     batch path instead. Round-1 would collect GBs for a stopword query
     at scale (VERDICT item 10). The default (1e7 postings ≈ 30-80 MB
     of blocks) is a MEMORY-SAFETY bound, not a speed heuristic — below
-    it the WAND driver path is usually faster than a distributed job.
-    self.last_path records which path ran ('wand' | 'and' | 'batch')
-    for tests/observability."""
+    it the driver path is usually faster than a distributed job.
+    self.last_path records which path ran
+    ('maxscore' | 'wand' | 'and' | 'batch') for tests/observability.
+    Bounded LRU caches (decoded postings, df map, doc resolve — see
+    __init__) make warm repeats run with zero Spark jobs; call
+    refresh() after the index grows or compacts."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  max_driver_postings: int = 10_000_000,
@@ -959,7 +965,7 @@ class Searcher:
         # Bounded by TOTAL CACHED POSTINGS (not terms), so one hot
         # stopword can't blow the driver; 0 disables.
         self.cache_postings_budget = 5_000_000
-        self._post_cache: dict[str, tuple[list, int]] = {}
+        self._post_cache: dict[str, tuple["_TermPostings | list", int]] = {}
         self._post_cache_postings = 0
         # doc_ord -> (conv_id, turn_idx) resolve cache (LRU, bounded
         # entries): each search resolves <= k ords, and interactive
@@ -1002,12 +1008,22 @@ class Searcher:
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """df per term from the term dictionary table (analytics path;
-        the hot search path derives df from segment rows instead)."""
-        tdf = (
-            self.spark.read.parquet(catalog.terms_dir(self.index_dir))
-            .where(F.col("term").isin(terms)).toPandas()
-        )
-        return dict(zip(tdf["term"], tdf["df"].astype(int)))
+        the hot search path derives df from segment rows instead).
+        Sums across generations for an incrementally-built index;
+        falls back to the pruned segment probe when a generation was
+        built with build_terms_dict=False."""
+        out: dict[str, int] = {}
+        for gen in self.gens:
+            td = catalog.terms_dir(gen["dir"])
+            if not os.path.isdir(td):
+                return self._probe_dfs(sorted(terms))
+            tdf = (
+                self.spark.read.parquet(td)
+                .where(F.col("term").isin(terms)).toPandas()
+            )
+            for t, df_ in zip(tdf["term"], tdf["df"].astype(int)):
+                out[t] = out.get(t, 0) + int(df_)
+        return out
 
     def _via_batch(self, query_text: str, k: int, mode: str) -> pd.DataFrame:
         """Route one interactive query through the distributed batch
@@ -1053,7 +1069,7 @@ class Searcher:
             self._df_cache_checked = True
             # parquet count() is metadata-only — one cheap job, once
             n_rows = sum(df.count() for df in self._seg_dfs)
-            if n_rows <= self.max_cached_dict_rows:
+            if self._seg_dfs and n_rows <= self.max_cached_dict_rows:
                 cache: dict[str, int] = {}
                 rows = None
                 for df in self._seg_dfs:
@@ -1069,9 +1085,9 @@ class Searcher:
             dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
         return dfs
 
-    def _fetch_postings(self, terms: list[str]) -> tuple[dict[str, list], dict[str, int]]:
+    def _fetch_postings(self, terms: list[str]) -> tuple[dict[str, "_TermPostings"], dict[str, int]]:
         """ONE partition-pruned, predicate-pushed scan (across all
-        generations) returns both the compressed block lists and df per
+        generations) returns the DECODED posting arrays and df per
         term (sum of per-salt n_docs). Routing is the client-side
         term-bucket hash — the analog of ES routing a query to the
         right shard — so no dictionary round-trip precedes the
