@@ -959,12 +959,16 @@ class Searcher:
         self.max_cached_dict_rows = max_cached_dict_rows
         self._df_cache: dict[str, int] | None = None
         self._df_cache_checked = False
-        # LRU posting-blocks cache keyed by term: an interactive
+        # LRU decoded-postings cache keyed by term: an interactive
         # session repeats vocabulary, and the per-query fetch job
         # (0.2-0.4 s) is the latency floor once scoring is vectorized.
         # Bounded by TOTAL CACHED POSTINGS (not terms), so one hot
-        # stopword can't blow the driver; 0 disables.
-        self.cache_postings_budget = 5_000_000
+        # stopword can't blow the driver; 0 disables. Default = the
+        # per-query collect bound (~24 bytes/posting decoded ⇒ 10M ≈
+        # 240 MB): anything below the working set of a repeated query
+        # mix thrashes — a 5M budget measurably evicted the first hot
+        # term of the 10-query bench set between passes.
+        self.cache_postings_budget = max_driver_postings
         self._post_cache: dict[str, tuple["_TermPostings | list", int]] = {}
         self._post_cache_postings = 0
         # doc_ord -> (conv_id, turn_idx) resolve cache (LRU, bounded
