@@ -35,6 +35,20 @@ def _spark(master: str | None, app: str):
     return b.getOrCreate()
 
 
+def _read_input(spark, args):
+    """Input table in the requested format. parquet (default) / json
+    (lines) / csv (header + inferred types): the DataFrame boundary
+    makes every source interchangeable — build_index and the
+    translate job only see columns."""
+    fmt = getattr(args, "format", "parquet")
+    if fmt == "csv":
+        return (spark.read.option("header", "true")
+                .option("inferSchema", "true").csv(args.input))
+    if fmt == "json":
+        return spark.read.json(args.input)
+    return spark.read.parquet(args.input)
+
+
 def _wire_logging(args) -> None:
     """Attach the reference's operational log handlers when requested
     (es_translator/cli.py:195,258: --syslog-address wires a syslog
@@ -62,7 +76,7 @@ def cmd_build(args) -> int:
         max_content_length=(parse_size(args.max_content_length)
                             if args.max_content_length else 0),
     )
-    df = spark.read.parquet(args.input)
+    df = _read_input(spark, args)
     if args.dry_run:
         # S6: the reference's dry-run scans and counts but never writes
         # (es_translator/es_translator.py:242-244) — here: resolve the
@@ -125,7 +139,7 @@ def cmd_translate(args) -> int:
     interp_cls = get_interpreter(args.interpreter)
     interp = interp_cls()
     spark = _spark(args.master, "sparkbm25-translate")
-    df = spark.read.parquet(args.input)
+    df = _read_input(spark, args)
     if args.max_content_length:
         # the reference truncates content before translating
         # (es_translator/es.py:120-121)
@@ -209,6 +223,9 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("build", help="build the inverted index")
     pb.add_argument("--input", required=True, help="transcripts parquet/table path")
+    pb.add_argument("--format", default="parquet",
+                    choices=["parquet", "json", "csv"],
+                    help="input table format")
     pb.add_argument("--index", required=True, help="output index dir")
     pb.add_argument("--resume", action="store_true",
                     help="resume from the manifest (skip committed chunks)")
@@ -235,7 +252,10 @@ def main(argv=None) -> int:
              "reference's flagship job)")
     pt.add_argument("--index", required=True)
     pt.add_argument("--input", required=True,
-                    help="transcripts parquet (conv_id, turn_idx, text, ...)")
+                    help="transcripts table (conv_id, turn_idx, text, ...)")
+    pt.add_argument("--format", default="parquet",
+                    choices=["parquet", "json", "csv"],
+                    help="input table format")
     pt.add_argument("--interpreter", default="rev",
                     help="registered interpreter name (rev|apertium|argos)")
     pt.add_argument("--force", action="store_true",

@@ -82,6 +82,36 @@ def test_parse_size_suffixes():
             parse_size(bad)
 
 
+def test_cli_build_json_and_csv_inputs(spark, tmp_path, capsys):
+    """The CLI reads json/csv inputs interchangeably with parquet (the
+    DataFrame boundary makes sources format-agnostic): a json-lines
+    build answers queries identically to a parquet build."""
+    import json as _json
+
+    from sparkbm25 import cli, search_batch
+    from sparkbm25.fixtures import make_transcripts
+
+    t = make_transcripts(150, seed=61).drop(columns=["ts"])  # json-safe
+    jdir = str(tmp_path / "in_json")
+    spark.createDataFrame(t).write.mode("overwrite").json(jdir)
+    pdir = str(tmp_path / "in_parq")
+    spark.createDataFrame(t).write.mode("overwrite").parquet(pdir)
+    idx_j = str(tmp_path / "idx_json")
+    idx_p = str(tmp_path / "idx_parq")
+    assert cli.main(["build", "--input", jdir, "--format", "json",
+                     "--index", idx_j, "--chunks", "1"]) == 0
+    assert cli.main(["build", "--input", pdir,
+                     "--index", idx_p, "--chunks", "1"]) == 0
+    capsys.readouterr()
+    import pandas as pd
+
+    q = pd.DataFrame({"query_id": [0], "query_text": ["alpha w0001"], "k": [5]})
+    a = search_batch(spark, idx_j, q, k=5).toPandas()
+    b = search_batch(spark, idx_p, q, k=5).toPandas()
+    assert a["conv_id"].tolist() == b["conv_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
 def test_logger_surface():
     """The reference's logging surface (logger.py:14-50), stdlib-only:
     a real SysLogHandler datagram lands on a local UDP socket with the
