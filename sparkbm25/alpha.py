@@ -107,13 +107,15 @@ def to_alpha_2(code: str) -> str:
     through UNVALIDATED — the reference only consults pycountry when a
     conversion is actually needed, so e.g. to_alpha_2('sr') == 'sr'
     even though 'sr' is outside SUPPORTED_LANGUAGES. Only 3-letter
-    codes the table cannot convert raise."""
+    codes the table cannot convert raise. The pass-through returns the
+    ORIGINAL input (to_alpha_2('FR') == 'FR', not 'fr') — the
+    reference never touches a code it doesn't convert (ADVICE r4)."""
     c = (code or "").lower()
     if len(c) == 3:
         if c not in _A3_TO_A2:
             raise InvalidLanguageCode(code)
         return _A3_TO_A2[c]
-    return c
+    return code or ""
 
 
 def to_alpha_3(code: str) -> str:
@@ -122,13 +124,14 @@ def to_alpha_3(code: str) -> str:
     to_alpha_2); only 2-letter codes outside the static table raise —
     which is STRICTER than the reference for valid ISO codes we don't
     carry (e.g. 'fy'): the reference covers the full pycountry table,
-    this engine the SUPPORTED_LANGUAGES subset below."""
+    this engine the SUPPORTED_LANGUAGES subset below. Pass-through
+    returns the ORIGINAL input unchanged (see to_alpha_2)."""
     c = (code or "").lower()
     if len(c) == 2:
         if c not in _A2_TO_A3:
             raise InvalidLanguageCode(code)
         return _A2_TO_A3[c]
-    return c
+    return code or ""
 
 
 def to_name(alpha_2: str) -> str:

@@ -726,9 +726,19 @@ def build_index(
     if config.build_terms_dict and ("terms", -1) not in done:
         d0 = time.time()
         segs = spark.read.parquet(catalog.segments_dir(index_dir))
+        # term-SORTED write with a length column (VERDICT r4 item 3):
+        # range-partitioned + sorted-within-partition means parquet
+        # row-group min/max statistics on `term` are TIGHT, so a
+        # prefix leaf's range predicate (term >= p AND term < p+1)
+        # prunes to the matching row groups instead of scanning the
+        # whole vocabulary; `length` gives fuzzy leaves a cheap
+        # |len(term)-len(q)| <= d band before any edit-distance work
         terms = (
             segs.groupBy("term")
             .agg(F.sum("n_docs").alias("df"), F.first("term_bucket").alias("term_bucket"))
+            .withColumn("length", F.length("term").cast("int"))
+            .repartitionByRange("term")
+            .sortWithinPartitions("term")
         )
         terms.write.mode("overwrite").parquet(catalog.staging_dir(index_dir, "terms"))
         catalog.commit_staging(index_dir, "terms", catalog.terms_dir(index_dir))

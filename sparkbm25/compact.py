@@ -134,9 +134,14 @@ def compact_index(spark: SparkSession, index_root: str, out_dir: str) -> BuildRe
     if cfg.build_terms_dict:
         t1 = time.time()
         seg_new = spark.read.parquet(catalog.segments_dir(out_dir))
-        terms = seg_new.groupBy("term").agg(
+        # same sorted-with-length layout as build.py stage 3, so the
+        # compacted generation keeps prefix/fuzzy band pruning
+        terms = (seg_new.groupBy("term").agg(
             F.sum("n_docs").alias("df"),
             F.first("term_bucket").alias("term_bucket"))
+            .withColumn("length", F.length("term").cast("int"))
+            .repartitionByRange("term")
+            .sortWithinPartitions("term"))
         terms.write.mode("overwrite").parquet(
             catalog.staging_dir(out_dir, "terms"))
         catalog.commit_staging(out_dir, "terms", catalog.terms_dir(out_dir))

@@ -65,6 +65,86 @@ def test_phrase_matches_only_consecutive(spark, built):
         assert expect <= got_keys
 
 
+def _sloppy_docs(texts, terms, slop):
+    """Independent brute-force sloppy-phrase oracle over raw text:
+    all occurrence-position combos, distinct positions, span of
+    slot-adjusted positions <= slop."""
+    import itertools
+
+    out = set()
+    for key, txt in texts.items():
+        toks = re.findall("[a-z0-9]+", txt)
+        poss = [[i for i, tk in enumerate(toks) if tk == term]
+                for term in terms]
+        if any(not p for p in poss):
+            continue
+        for combo in itertools.product(*poss):
+            if len(set(combo)) != len(terms):
+                continue
+            adj = [p - i for i, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                out.add(key)
+                break
+    return out
+
+
+def test_phrase_slop_semantics(spark, built):
+    """'"b a"~2' (reversed) and gapped forms match per the documented
+    span semantics (== Lucene sloppy-phrase for two-term phrases);
+    slop 0 stays exact, larger slop is a superset."""
+    t, d, texts = built
+    toks = t["text"].iloc[0].lower().split()
+    w1, w2 = toks[2], toks[3]
+    k = 2000
+    by_slop = {}
+    for slop in (0, 1, 2):
+        q = pd.DataFrame({"query_id": [0],
+                          "query_text": [f'"{w2} {w1}"~{slop}'],
+                          "k": [k]})
+        got = search_batch(spark, d, q, k=k).toPandas()
+        got_keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+        expect = _sloppy_docs(texts, [w2, w1], slop)
+        assert got_keys == expect, (slop, len(got_keys), len(expect))
+        by_slop[slop] = got_keys
+    # monotone: more slop never loses a match; the reversed adjacency
+    # "w1 w2" (slop-2 shape) must appear at slop 2 but not slop 1
+    assert by_slop[0] <= by_slop[1] <= by_slop[2]
+    reversed_only = _sloppy_docs(texts, [w2, w1], 2) - _sloppy_docs(
+        texts, [w2, w1], 1)
+    if reversed_only:
+        assert reversed_only <= by_slop[2] and not (reversed_only & by_slop[1])
+
+
+def test_phrase_slop_repeated_term(spark, built):
+    """A repeated-term sloppy phrase ('"w w"~1') requires two DISTINCT
+    occurrences — a doc with a single occurrence must not match (the
+    SDR check in search._distinct_assignment)."""
+    t, d, texts = built
+    # find a word that occurs twice in some doc
+    from collections import Counter
+
+    w = None
+    for _, txt in texts.items():
+        c = Counter(re.findall("[a-z0-9]+", txt))
+        for word, n in c.items():
+            if n >= 2 and len(word) > 3:
+                w = word
+                break
+        if w:
+            break
+    assert w is not None
+    q = pd.DataFrame({"query_id": [0], "query_text": [f'"{w} {w}"~1'],
+                      "k": [2000]})
+    got = search_batch(spark, d, q, k=2000).toPandas()
+    got_keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+    expect = _sloppy_docs(texts, [w, w], 1)
+    assert got_keys == expect
+    # sanity: some doc contains w exactly once and is excluded
+    singles = {key for key, txt in texts.items()
+               if re.findall("[a-z0-9]+", txt).count(w) == 1}
+    assert not (got_keys & singles)
+
+
 def test_phrase_requires_positions(spark, tmp_path):
     t = make_transcripts(200, seed=3)
     d = str(tmp_path / "nopos")

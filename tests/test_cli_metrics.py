@@ -156,6 +156,12 @@ def test_alpha_code_map():
     # outside the static table, and the reference returns it as-is
     assert alpha.to_alpha_2("sr") == "sr"
     assert alpha.to_alpha_3("srp") == "srp"
+    # ...and returns the ORIGINAL input byte-for-byte, no case
+    # normalization (ADVICE r4: the reference returns 'FR' unchanged)
+    assert alpha.to_alpha_2("FR") == "FR"
+    assert alpha.to_alpha_3("SRP") == "SRP"
+    # conversion itself still accepts any case
+    assert alpha.to_alpha_3("FR") == "fra"
     assert "fr" in alpha.supported_codes() and "fra" in alpha.supported_codes()
 
 

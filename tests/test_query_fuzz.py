@@ -68,10 +68,27 @@ def _contrib(doc, term, df_map, n, avgdl):
     return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * doc["dl"] / avgdl))
 
 
-def _phrase_in(doc, terms):
+def _phrase_in(doc, terms, slop=0):
     toks = doc["toks"]
     m = len(terms)
-    return any(toks[i:i + m] == terms for i in range(len(toks) - m + 1))
+    if slop == 0:
+        return any(toks[i:i + m] == terms for i in range(len(toks) - m + 1))
+    # independent brute force of the documented sloppy semantics: one
+    # DISTINCT occurrence position per slot, span of slot-adjusted
+    # positions <= slop
+    import itertools
+
+    poss = [[i for i, tk in enumerate(toks) if tk == term]
+            for term in terms]
+    if any(not p for p in poss):
+        return False
+    for combo in itertools.product(*poss):
+        if len(set(combo)) != m:
+            continue
+        adj = [p - i for i, p in enumerate(combo)]
+        if max(adj) - min(adj) <= slop:
+            return True
+    return False
 
 
 def _eval_leaf(doc, leaf, df_map, n, avgdl, vocab):
@@ -81,7 +98,7 @@ def _eval_leaf(doc, leaf, df_map, n, avgdl, vocab):
         return (leaf.text in doc["tokset"],
                 leaf.boost * c)
     if isinstance(leaf, Phrase):
-        if not _phrase_in(doc, list(leaf.terms)):
+        if not _phrase_in(doc, list(leaf.terms), leaf.slop):
             return False, 0.0
         return True, leaf.boost * sum(
             _contrib(doc, t, df_map, n, avgdl) for t in leaf.terms)
@@ -206,6 +223,10 @@ def _gen_queries(rng, vocab):
         lambda: f"role:{rng.choice(roles)}",
         lambda: f"NOT role:{rng.choice(roles)} {w()}",
         lambda: f'"{w()} {w()}"',
+        lambda: f'"{w()} {w()}"~{int(rng.integers(1, 4))}',
+        lambda: f'"{w()} {w()}"~2 OR {w()}',
+        lambda: f"text:{w()} AND role:{rng.choice(roles)}",
+        lambda: f"text:{w()[:4]}* OR {w()}",
         lambda: f"{w()[:4]}*",
         lambda: f"{w()}~1",
         lambda: f"{w()}^2 OR {w()}",
@@ -213,6 +234,46 @@ def _gen_queries(rng, vocab):
         lambda: f"role:{rng.choice(roles)} ({w()} OR NOT {w()})",
     ]
     return [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(24)]
+
+
+def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
+    """Randomized parity: every query shape the interactive Searcher
+    serves WITHOUT the batch detour (flat trees, filtered flat trees —
+    round-5 fast paths) must agree with search_batch on the result
+    set, scores (1e-9), and rank order."""
+    from sparkbm25.search import Searcher
+
+    t, d, docs, df_map, n, avgdl = corpus
+    vocab = sorted(df_map)
+    rng = np.random.default_rng(11)
+    roles = ["user", "assistant", "system", "tool"]
+
+    def w():
+        return rng.choice(vocab)
+
+    shapes = [
+        lambda: f"{w()} AND {w()}",
+        lambda: f"{w()} OR {w()}^2",
+        lambda: f"role:{rng.choice(roles)} {w()} {w()}",
+        lambda: f"role:{rng.choice(roles)} AND {w()}",
+        lambda: f"NOT role:{rng.choice(roles)} ({w()} OR {w()})",
+        lambda: f"turn_idx:[0 TO 3] {w()}",
+        lambda: f"text:{w()} AND role:{rng.choice(roles)}",
+    ]
+    s = Searcher(spark, d)
+    texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(12)]
+    for qt in texts:
+        got = s.search(qt, k=15)
+        assert s.last_path in ("filtered", "maxscore", "and", None), \
+            (qt, s.last_path)
+        q = pd.DataFrame({"query_id": [0], "query_text": [qt], "k": [15]})
+        exp = (search_batch(spark, d, q, k=15).toPandas()
+               .sort_values("rank").reset_index(drop=True))
+        assert got["conv_id"].tolist() == exp["conv_id"].tolist(), qt
+        assert got["turn_idx"].tolist() == exp["turn_idx"].tolist(), qt
+        np.testing.assert_allclose(got["score"].astype(float),
+                                   exp["score"].astype(float), rtol=1e-9,
+                                   err_msg=qt)
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
