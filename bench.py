@@ -161,6 +161,19 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         searcher.search(q.query_text, k=10)
         warm_times[f"q{q.query_id}"] = round(time.time() - tq, 4)
 
+    # interactive FILTERED query (round-5 driver fast path, VERDICT r4
+    # item 6): `terms + role:user` previously paid the ~0.4-0.6s
+    # distributed batch detour; now it's driver scoring + one pruned
+    # forward-table probe. Additive keys — the 10 headline queries
+    # above are unchanged for cross-round comparability.
+    fq = "role:user w0001 w0005"
+    tq = time.time()
+    searcher.search(fq, k=10)
+    qtimes["q_filtered"] = round(time.time() - tq, 4)
+    tq = time.time()
+    searcher.search(fq, k=10)
+    warm_times["q_filtered"] = round(time.time() - tq, 4)
+
     # batch path: the whole query set as one DataFrame job
     from sparkbm25.search import search_batch
 

@@ -432,6 +432,92 @@ def _one_predicate(fld: str, val: str) -> Column:
     return col == bound(val)
 
 
+def python_filter(filters: list[tuple[str, str]],
+                  neg_filters: list[tuple[str, str]] = ()):
+    """Driver-side twin of filter_condition: a callable(row_mapping)
+    -> bool with IDENTICAL semantics (equality, `val*` prefix,
+    inclusive `[A TO B]` ranges with `*` open bounds; numeric fields
+    compare as ints; a NULL field value never satisfies a positive
+    predicate — Catalyst three-valued logic collapses to False at the
+    filter). Used by the Searcher's filtered driver path to evaluate
+    predicates over CACHED forward-table rows without a Spark job;
+    parity with the Catalyst column is covered by the randomized
+    Searcher-vs-batch fuzz (tests/test_query_fuzz.py). Each inner
+    predicate is THREE-valued (True/False/None==NULL) exactly like
+    Catalyst: a NULL field makes equality/prefix/bounded-range NULL —
+    so the row fails BOTH `f:v` and `NOT f:v` (NOT NULL is NULL), and
+    only the fully-open range `[* TO *]` (a constant TRUE) keeps it.
+    ASCII string comparison: python compares by code point, Spark
+    UTF8String by bytes — identical because UTF-8 byte order equals
+    code-point order."""
+    def one(fld: str, val: str):
+        numeric = fld in NUMERIC_FILTER_FIELDS
+
+        def coerce(v: str):
+            if numeric:
+                try:
+                    return int(v)
+                except ValueError:
+                    raise ValueError(
+                        f"field {fld!r} expects an integer, got {v!r}"
+                    ) from None
+            return v
+
+        m = _RANGE_RE.match(val)
+        if m:
+            lo = None if m.group(1) == "*" else coerce(m.group(1))
+            hi = None if m.group(2) == "*" else coerce(m.group(2))
+
+            def rng(row):
+                if lo is None and hi is None:
+                    return True          # lit(True): NULL-safe constant
+                cur = row.get(fld)
+                if cur is None:
+                    return None
+                if numeric:
+                    cur = int(cur)
+                return ((lo is None or cur >= lo)
+                        and (hi is None or cur <= hi))
+
+            return rng
+        if val.endswith("*"):
+            pfx = val[:-1]
+
+            def swith(row):
+                cur = row.get(fld)
+                if cur is None:
+                    return None
+                return str(cur).startswith(pfx)
+
+            return swith
+        want = coerce(val)
+
+        def eq(row):
+            cur = row.get(fld)
+            if cur is None:
+                return None
+            return (int(cur) if numeric else cur) == want
+
+        return eq
+
+    pos = [one(f, v) for f, v in filters]
+    neg = [one(f, v) for f, v in neg_filters]
+
+    def pred(row) -> bool:
+        # the filter keeps a row only when the whole conjunction is
+        # definitely TRUE: every positive predicate True, every
+        # negated predicate definitely False (NULL fails both ways)
+        for p in pos:
+            if p(row) is not True:
+                return False
+        for p in neg:
+            if p(row) is not False:
+                return False
+        return True
+
+    return pred
+
+
 def filter_condition(filters: list[tuple[str, str]],
                      neg_filters: list[tuple[str, str]] = ()) -> Column:
     """AND of the structured predicates (negated ones excluded), as a

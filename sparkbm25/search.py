@@ -1125,10 +1125,12 @@ class Searcher:
         self.cache_postings_budget = max_driver_postings
         self._post_cache: dict[str, tuple["_TermPostings | list", int]] = {}
         self._post_cache_postings = 0
-        # doc_ord -> (conv_id, turn_idx) resolve cache (LRU, bounded
-        # entries): each search resolves <= k ords, and interactive
-        # sessions re-hit the same heads — a warm query then runs
-        # ZERO Spark jobs
+        # doc_ord -> (conv_id, turn_idx, {attr: value}) forward-row
+        # cache (LRU, bounded entries): each search resolves <= k
+        # ords, interactive sessions re-hit the same heads, and the
+        # filtered driver path evaluates structured predicates over
+        # these rows in PYTHON (querystring.python_filter) — a warm
+        # query, filtered or not, then runs ZERO Spark jobs
         self.doc_cache_max = 200_000
         self._doc_cache: dict[int, tuple] = {}
         # forward-table DataFrame cache (filtered driver path + doc
@@ -1324,6 +1326,36 @@ class Searcher:
         # shares the flat arrays — warm queries never touch varints
         return {t: _TermPostings(b) for t, b in post.items()}, dfs
 
+    def _attr_cols(self) -> list[str]:
+        """Structured-filter attribute columns present in the forward
+        table (cached rows carry them for python_filter)."""
+        return [c for c in ("role", "tool")
+                if c in self._forward_docs().columns]
+
+    def _cache_doc(self, doc_ord: int, entry: tuple) -> None:
+        while len(self._doc_cache) >= self.doc_cache_max:
+            self._doc_cache.pop(next(iter(self._doc_cache)))
+        self._doc_cache[doc_ord] = entry
+
+    def _fetch_doc_rows(self, ords: list[int]) -> None:
+        """Pull the forward rows of `ords` into the doc cache with ONE
+        doc_block-pruned, doc_ord-pushed scan (the ES point-GET
+        analog, batched)."""
+        need = [o for o in ords if o not in self._doc_cache]
+        if not need:
+            return
+        attrs = self._attr_cols()
+        blocks = sorted({o // self.cfg.doc_block_size for o in need})
+        rows = (
+            self._forward_docs()
+            .where(F.col("doc_block").isin(blocks))
+            .where(F.col("doc_ord").isin(need))
+            .select("doc_ord", "conv_id", "turn_idx", *attrs).collect())
+        for r in rows:
+            self._cache_doc(int(r["doc_ord"]),
+                            (r["conv_id"], int(r["turn_idx"]),
+                             {a: r[a] for a in attrs}))
+
     def _forward_docs(self) -> DataFrame:
         """The forward table as a cached DataFrame: repeated filtered
         searches reuse the resolved file index + parquet footers
@@ -1399,7 +1431,7 @@ class Searcher:
         resolve (conv_id, turn_idx) rides along for free. Returns
         None when the driver bound or the probe budget says the
         distributed path should run instead."""
-        from sparkbm25.querystring import filter_condition
+        from sparkbm25.querystring import python_filter
 
         docs_df = self._forward_docs()
         missing_f = {fld for fld, _ in
@@ -1436,7 +1468,12 @@ class Searcher:
             return empty
         order = np.lexsort((cand, -scores))
         cand, scores = cand[order], scores[order]
-        cond = filter_condition(parsed.filters, parsed.neg_filters)
+        # predicates evaluate in PYTHON over cached forward rows
+        # (querystring.python_filter — documented Catalyst-parity
+        # three-valued semantics): a probe chunk fetches only the
+        # UNCACHED rows via one pruned scan, and a warm repeat whose
+        # candidate heads are all cached runs ZERO Spark jobs
+        pred = python_filter(parsed.filters, parsed.neg_filters)
         survivors: list[tuple[float, int, str, int]] = []
         pos = 0
         chunk = max(128, 4 * k)
@@ -1446,19 +1483,14 @@ class Searcher:
             ords = [int(o) for o in cand[pos:pos + chunk].tolist()]
             sc = scores[pos:pos + chunk].tolist()
             pos += len(ords)
-            blocks = sorted({o // cfg.doc_block_size for o in ords})
-            rows = (
-                docs_df
-                .where(F.col("doc_block").isin(blocks))
-                .where(F.col("doc_ord").isin(ords))
-                .where(cond)
-                .select("doc_ord", "conv_id", "turn_idx").collect())
-            ok = {int(r["doc_ord"]): (r["conv_id"], int(r["turn_idx"]))
-                  for r in rows}
+            self._fetch_doc_rows(ords)
             for o, s in zip(ords, sc):
-                hit = ok.get(o)
-                if hit is not None:
-                    survivors.append((float(s), o, hit[0], hit[1]))
+                ent = self._doc_cache.get(o)
+                if ent is None:
+                    continue     # ord absent from the forward table
+                row = {"conv_id": ent[0], "turn_idx": ent[1], **ent[2]}
+                if pred(row):
+                    survivors.append((float(s), o, ent[0], ent[1]))
                     if len(survivors) == k:
                         break
             chunk = min(chunk * 4, self._PROBE_CHUNK_MAX)
@@ -1563,20 +1595,7 @@ class Searcher:
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         results.sort(key=lambda x: (-x[0], x[1]))
         ords = [d for _, d in results]
-        missing = sorted({d for d in ords if d not in self._doc_cache})
-        if missing:
-            blocks = sorted({d // self.cfg.doc_block_size for d in missing})
-            docs = (
-                self._forward_docs()
-                .where(F.col("doc_block").isin(blocks))
-                .where(F.col("doc_ord").isin(missing))
-                .select("doc_ord", "conv_id", "turn_idx").toPandas()
-            )
-            for row in docs.itertuples(index=False):
-                while len(self._doc_cache) >= self.doc_cache_max:
-                    self._doc_cache.pop(next(iter(self._doc_cache)))
-                self._doc_cache[int(row.doc_ord)] = (row.conv_id,
-                                                     int(row.turn_idx))
+        self._fetch_doc_rows(ords)
         resolved = [self._doc_cache[d] for d in ords]
         out = pd.DataFrame(
             {

@@ -170,6 +170,65 @@ def test_filtered_driver_fast_path(spark, built):
                                    exp["score"].astype(float), rtol=1e-9)
 
 
+def test_filtered_driver_warm_zero_jobs(spark, built):
+    """A warm repeat of a filtered query runs ZERO Spark work: the
+    postings LRU serves the terms and python_filter evaluates the
+    predicate over cached forward rows."""
+    t, d = built
+    s = Searcher(spark, d)
+    q = "role:user alpha w0001"
+    first = s.search(q, k=10)
+    assert s.last_path == "filtered" and len(first) > 0
+
+    def boom(*a, **kw):
+        raise AssertionError("Spark access on a warm filtered repeat")
+
+    s._fetch_postings_scan = boom
+
+    def strict_rows(ords):
+        # every head ord must already sit in the forward-row cache:
+        # a miss would issue the pruned scan = a Spark job
+        missing = [o for o in ords if o not in s._doc_cache]
+        assert not missing, f"forward scan on warm repeat: {missing[:5]}"
+
+    s._fetch_doc_rows = strict_rows
+    second = s.search(q, k=10)
+    assert s.last_path == "filtered"
+    assert second["conv_id"].tolist() == first["conv_id"].tolist()
+    np.testing.assert_allclose(second["score"], first["score"])
+
+
+def test_python_filter_matches_catalyst_nulls(spark):
+    """querystring.python_filter three-valued semantics == Catalyst on
+    NULL fields: NULL fails both `f:v` AND `NOT f:v`; only the fully
+    open range keeps it."""
+    from pyspark.sql import functions as F
+
+    from sparkbm25.querystring import filter_condition, python_filter
+
+    rows = [("c0", 0, "user", "grep"), ("c1", 1, None, None),
+            ("c2", 2, "bot", "search"), ("c3", 3, "userx", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+    cases = [
+        ([("role", "user")], []),
+        ([], [("role", "bot")]),
+        ([("role", "use*")], []),
+        ([("conv_id", "[c1 TO c2]")], []),
+        ([("conv_id", "[* TO *]")], []),
+        ([("turn_idx", "[1 TO *]")], [("tool", "search")]),
+        ([], [("tool", "gre*")]),
+    ]
+    for filters, negs in cases:
+        want = sorted(r["conv_id"] for r in df.where(
+            filter_condition(filters, negs)).collect())
+        pred = python_filter(filters, negs)
+        got = sorted(c for c, ti, ro, to in rows
+                     if pred({"conv_id": c, "turn_idx": ti,
+                              "role": ro, "tool": to}))
+        assert got == want, (filters, negs, got, want)
+
+
 def test_filtered_driver_routing_boundaries(spark, built):
     t, d = built
     s = Searcher(spark, d)
