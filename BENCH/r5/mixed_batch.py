@@ -80,6 +80,7 @@ def main():
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", os.path.join(shm, "local"))
         .config("spark.driver.memory", "48g")
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

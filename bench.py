@@ -90,6 +90,13 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", os.path.join(shm, "local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # UDS for python-worker Arrow IPC: the 9.6M-turn robustness run
+        # livelocked on this kernel's loopback TCP (retransmission
+        # backoff to rto=120s with on-loopback drops under
+        # bidirectional Arrow traffic); Unix sockets have no
+        # congestion control/retransmission to break (round-5 finding,
+        # BENCH/BASELINE.md)
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -31,6 +31,15 @@ def _spark(master: str | None, app: str):
         b.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.io.compression.codec", "zstd")
+        # Unix domain sockets for executor<->python-worker Arrow IPC
+        # (Spark 4): strictly better than TCP loopback for host-local
+        # traffic, and REQUIRED for robustness on kernels whose
+        # loopback TCP can drop under bidirectional pressure — the
+        # round-5 9.6M-turn build livelocked in
+        # retransmission-backoff (rto 120s, backoff 14, drops on lo)
+        # on the sandbox kernel; UDS has no congestion control or
+        # retransmission to go wrong (BENCH/BASELINE.md round-5 notes)
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     return b.getOrCreate()
 

@@ -107,7 +107,8 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
 
     def eval_empty(n) -> bool:
         """The boolean tree at the empty mask (no leaf matched)."""
-        if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix, qs.Fuzzy)):
+        if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix, qs.Fuzzy,
+                          qs.Wildcard)):
             return False
         if isinstance(n, qs.Not):
             return not eval_empty(n.child)
@@ -160,6 +161,11 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                     terms = [leaf.term]
                     kind = "fuzzy"
                     max_edits = leaf.max_edits
+                elif isinstance(leaf, qs.Wildcard):
+                    # placeholder pattern: expands against the term
+                    # dictionary like prefix/fuzzy (scoring_boolean)
+                    terms = [leaf.pattern]
+                    kind = "wildcard"
                 else:
                     terms = [leaf.text]
                     kind = "term"
@@ -183,7 +189,8 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                     return m.bitwiseAND(F.lit(1 << s)) != 0
 
                 def walk(n, m):
-                    if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix, qs.Fuzzy)):
+                    if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix,
+                                      qs.Fuzzy, qs.Wildcard)):
                         return bit(m, slot_map[id(n)])
                     if isinstance(n, qs.Not):
                         return ~walk(n.child, m)
@@ -322,6 +329,22 @@ def _expand_terms_source(spark: SparkSession, index_dir: str) -> DataFrame:
             .withColumn("length", F.length("term").cast("int")))
 
 
+def _wildcard_parts(pat: str) -> tuple[str, str, int, int | None]:
+    """Compile a Lucene wildcard pattern (`*` any run, `?` one char)
+    into SQL-LIKE form plus its pruning bands:
+    (like_pattern, literal_prefix, min_length, exact_length_or_None).
+    SQL metachars in literal runs are escaped (default backslash
+    escape in both Spark and DuckDB)."""
+    import re as _re
+
+    like = (pat.replace("\\", "\\\\").replace("%", r"\%")
+            .replace("_", r"\_").replace("*", "%").replace("?", "_"))
+    prefix = _re.match(r"^[^*?]*", pat).group(0)
+    min_len = len(pat.replace("*", ""))
+    exact_len = len(pat) if "*" not in pat else None
+    return like, prefix, min_len, exact_len
+
+
 def _prefix_upper(p: str) -> str | None:
     """Smallest string greater than every string starting with `p`:
     increment the last codepoint, carrying over maximal ones. None
@@ -336,6 +359,7 @@ def _prefix_upper(p: str) -> str | None:
 def _expand_multiterm(spark: SparkSession, index_dir: str,
                       prefixes: list[str],
                       fuzzies: list[tuple[str, int]],
+                      wildcards: list[str] = (),
                       max_expansions: int = 128) -> dict[str, list[str]]:
     """Expand `foo*` prefix and `foo~N` fuzzy leaves against the term
     dictionary (Lucene multi-term rewrite). No bucket pruning is
@@ -356,6 +380,13 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
         banded O(d·n) algorithm and bails early instead of filling
         the full DP matrix per candidate. d=0 degenerates to an
         equality probe (range-prunable like a prefix).
+      * wildcard `te*t` / `t?st` compiles to a JVM LIKE over the
+        dictionary, banded by the literal-prefix range (row-group
+        pruning when the pattern has a non-empty literal head) and a
+        length bound (exact length for ?-only patterns, minimum
+        literal+? count otherwise). A LEADING wildcard has no prefix
+        band and scans the dictionary — the cost Lucene documents for
+        leading wildcards.
 
     Each leaf's subquery carries limit(max_expansions+1) pushed below
     the collect, so the driver NEVER materializes more than
@@ -388,6 +419,22 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
             src.where(cond).select("term").distinct()
             .limit(max_expansions + 1)
             .select(F.lit(f"f:{t}~{d}").alias("key"), "term"))
+    for w in wildcards:
+        like, prefix, min_len, exact_len = _wildcard_parts(w)
+        cond = F.col("term").like(like)
+        if prefix:
+            cond = cond & (F.col("term") >= F.lit(prefix))
+            up = _prefix_upper(prefix)
+            if up is not None:
+                cond = cond & (F.col("term") < F.lit(up))
+        if exact_len is not None:
+            cond = cond & (F.col("length") == F.lit(exact_len))
+        elif min_len:
+            cond = cond & (F.col("length") >= F.lit(min_len))
+        parts.append(
+            src.where(cond).select("term").distinct()
+            .limit(max_expansions + 1)
+            .select(F.lit(f"w:{w}").alias("key"), "term"))
     u = parts[0]
     for q in parts[1:]:
         u = u.unionByName(q)
@@ -396,6 +443,8 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
         out[f"p:{p}"] = []
     for t, d in fuzzies:
         out[f"f:{t}~{d}"] = []
+    for w in wildcards:
+        out[f"w:{w}"] = []
     for r in u.collect():
         out[r["key"]].append(r["term"])
     for key, matched in out.items():
@@ -668,8 +717,11 @@ def search_batch(
                        if l["kind"] == "prefix"})
     fuzzies = sorted({(l["terms"][0], l["max_edits"]) for p in plans
                       for l in p.leaves if l["kind"] == "fuzzy"})
-    if (prefixes or fuzzies) and n_docs > 0:
-        expansions = _expand_multiterm(spark, index_dir, prefixes, fuzzies)
+    wildcards = sorted({l["terms"][0] for p in plans for l in p.leaves
+                        if l["kind"] == "wildcard"})
+    if (prefixes or fuzzies or wildcards) and n_docs > 0:
+        expansions = _expand_multiterm(spark, index_dir, prefixes, fuzzies,
+                                       wildcards)
         for p in plans:
             for l in p.leaves:
                 if l["kind"] == "prefix":
@@ -677,6 +729,8 @@ def search_batch(
                 elif l["kind"] == "fuzzy":
                     l["terms"] = expansions.get(
                         f"f:{l['terms'][0]}~{l['max_edits']}", [])
+                elif l["kind"] == "wildcard":
+                    l["terms"] = expansions.get(f"w:{l['terms'][0]}", [])
     qp = _plans_to_rows(plans)
     empty = spark.createDataFrame(
         [], "query_id int, rank int, conv_id string, turn_idx int, score double")
@@ -1365,14 +1419,22 @@ class Searcher:
             self._docs_df = catalog.read_docs(self.spark, self.index_dir)
         return self._docs_df
 
-    @staticmethod
-    def _score_all(cursors: list["_Cursor"], fmode: str, k1: float,
+    def _score_all(self, cursors: list["_Cursor"], fmode: str, k1: float,
                    b: float, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
         """FULL scoring of every accepted doc (no top-k pruning — a
         downstream filter may reject arbitrarily many heads). Bounded
         by max_driver_postings like every driver path. Contributions
         sum in the caller's fixed cursor order, so exact float ties
-        land identically to the other driver algorithms."""
+        land identically to the other driver algorithms.
+
+        OR mode uses a DENSE bincount scatter over doc_ord when the
+        corpus is small enough (n_docs*8B within ~8× the postings
+        volume): np.unique on P concatenated postings is an O(P log P)
+        sort that measurably dominated warm filtered latency at the
+        9.6M-turn scale (~4 s for 15M postings); bincount is O(P + N)
+        C-speed and order-insensitive (per-doc float sums stay
+        deterministic because addition order per doc is the
+        concatenation order either way)."""
         if fmode == "and":
             if not cursors or any(c.total == 0 for c in cursors):
                 return (np.empty(0, dtype=np.int64),
@@ -1406,6 +1468,15 @@ class Searcher:
                 tf + k1 * (1.0 - b + b * dl / avgdl)))
         alldocs = np.concatenate(parts_d)
         allsc = np.concatenate(parts_s)
+        # flatnonzero(dense) == the matched-doc set only when every
+        # contribution is strictly positive (BM25 contribs are, unless
+        # a pathological ^0 boost zeroes a cursor — then fall through)
+        if (self.n_docs <= max(8 * alldocs.size, 1 << 20)
+                and all(c.weight > 0 for c in cursors if c.total > 0)):
+            dense = np.bincount(alldocs, weights=allsc,
+                                minlength=self.n_docs)
+            uniq = np.flatnonzero(dense)
+            return uniq, dense[uniq]
         uniq, inv = np.unique(alldocs, return_inverse=True)
         sums = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(sums, inv, allsc)
@@ -1466,8 +1537,26 @@ class Searcher:
         if cand.size == 0:
             self.last_path = "filtered"
             return empty
-        order = np.lexsort((cand, -scores))
-        cand, scores = cand[order], scores[order]
+
+        # exact INCREMENTAL head ordering: a full lexsort of millions
+        # of candidates costs seconds at the 10M-doc scale, but the
+        # filter usually accepts within the first few hundred heads.
+        # ordered_head(M) returns an exact PREFIX of the global
+        # (-score, doc) order: everything scoring above the M-th
+        # largest score plus ALL boundary-score ties (so no
+        # equal-score doc can be ordered across the boundary wrongly);
+        # argpartition is O(n), the sort touches only the prefix.
+        n_cand = cand.size
+
+        def ordered_head(m: int) -> np.ndarray:
+            if m >= n_cand:
+                return np.lexsort((cand, -scores))
+            kth = np.partition(scores, n_cand - m)[n_cand - m]
+            sel = np.flatnonzero(scores >= kth)
+            if sel.size >= n_cand:
+                return np.lexsort((cand, -scores))
+            return sel[np.lexsort((cand[sel], -scores[sel]))]
+
         # predicates evaluate in PYTHON over cached forward rows
         # (querystring.python_filter — documented Catalyst-parity
         # three-valued semantics): a probe chunk fetches only the
@@ -1477,11 +1566,16 @@ class Searcher:
         survivors: list[tuple[float, int, str, int]] = []
         pos = 0
         chunk = max(128, 4 * k)
-        while pos < cand.size and len(survivors) < k:
+        head = ordered_head(chunk)
+        while pos < n_cand and len(survivors) < k:
             if pos >= self._PROBE_CAP:
                 return None     # filter too selective for driver probing
-            ords = [int(o) for o in cand[pos:pos + chunk].tolist()]
-            sc = scores[pos:pos + chunk].tolist()
+            if pos + chunk > head.size and head.size < n_cand:
+                head = ordered_head(min(max(pos + chunk, 4 * head.size),
+                                        n_cand))
+            idx = head[pos:pos + chunk]
+            ords = [int(o) for o in cand[idx].tolist()]
+            sc = scores[idx].tolist()
             pos += len(ords)
             self._fetch_doc_rows(ords)
             for o, s in zip(ords, sc):

@@ -16,6 +16,8 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # UDS worker IPC — same robustness rationale as bench.py/cli.py
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .getOrCreate()
     )
     yield s

@@ -28,7 +28,8 @@ from sparkbm25 import IndexConfig, build_index, search_batch
 from sparkbm25.analysis import tokenize_one
 from sparkbm25.fixtures import make_transcripts
 from sparkbm25.querystring import (And, Filter, Fuzzy, Not, Or, Phrase,
-                                   Prefix, Term, parse_query_string)
+                                   Prefix, Term, Wildcard,
+                                   parse_query_string)
 from sparkbm25.search import _levenshtein
 
 K1, B = 1.2, 0.75
@@ -112,6 +113,16 @@ def _eval_leaf(doc, leaf, df_map, n, avgdl, vocab):
         hit = [t for t in exp if t in doc["tokset"]]
         return (bool(hit), leaf.boost * sum(
             _contrib(doc, t, df_map, n, avgdl) for t in hit))
+    if isinstance(leaf, Wildcard):
+        # independent translation: * -> .*, ? -> . (NOT the engine's
+        # LIKE compilation)
+        rx = re.compile("".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in leaf.pattern))
+        exp = [t for t in vocab if rx.fullmatch(t)]
+        hit = [t for t in exp if t in doc["tokset"]]
+        return (bool(hit), leaf.boost * sum(
+            _contrib(doc, t, df_map, n, avgdl) for t in hit))
     raise TypeError(leaf)
 
 
@@ -120,7 +131,7 @@ def _eval_tree(doc, node, df_map, n, avgdl, vocab):
     doc matches anywhere in the tree (engine: disjunction-sum over
     matched positive leaves; NOT leaves never score)."""
     def accept(nd, neg=False):
-        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy)):
+        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy, Wildcard)):
             return _eval_leaf(doc, nd, df_map, n, avgdl, vocab)[0]
         if isinstance(nd, Not):
             return not accept(nd.child, not neg)
@@ -131,7 +142,7 @@ def _eval_tree(doc, node, df_map, n, avgdl, vocab):
         raise TypeError(nd)
 
     def pos_score(nd, neg=False):
-        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy)):
+        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy, Wildcard)):
             if neg:
                 return 0.0
             m, s = _eval_leaf(doc, nd, df_map, n, avgdl, vocab)
@@ -205,8 +216,13 @@ def _reference_eval(query_text, docs, df_map, n, avgdl, vocab):
 
 def _gen_queries(rng, vocab):
     """Randomized query shapes across the whole grammar."""
+    long_vocab = [v for v in vocab if len(v) >= 5] or vocab
+
     def w():
         return rng.choice(vocab)
+
+    def wl():
+        return rng.choice(long_vocab)
 
     def rare():
         return rng.choice(["zzqqx", "notaword", w()])
@@ -232,6 +248,12 @@ def _gen_queries(rng, vocab):
         lambda: f"{w()}^2 OR {w()}",
         lambda: f"turn_idx:[0 TO {int(rng.integers(0, 5))}] {w()}",
         lambda: f"role:{rng.choice(roles)} ({w()} OR NOT {w()})",
+        # wildcard shapes: mid-star, single-?, leading wildcard (long
+        # terms only so the 128-expansion guard can't fire)
+        lambda: (lambda t: f"{t[:2]}*{t[-1]}")(wl()),
+        lambda: (lambda t: f"{t[:-1]}?")(wl()),
+        lambda: (lambda t: f"*{t[2:]}")(wl()),
+        lambda: f"{w()} OR te?t",
     ]
     return [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(24)]
 

@@ -58,6 +58,27 @@ def test_parser_text_scoped_and_slop():
     assert p.filters == [("role", "user")] and p.text == "alpha"
 
 
+def test_parser_wildcard():
+    """`te*t`/`t?st` parse as Wildcard leaves (round-4 silently split
+    them into bare terms); trailing-star-only stays the range-banded
+    Prefix leaf."""
+    from sparkbm25.querystring import Prefix, Wildcard
+
+    p = parse_query_string("te*t")
+    assert isinstance(p.tree, Wildcard) and p.tree.pattern == "te*t"
+    p = parse_query_string("t?st^2")
+    assert isinstance(p.tree, Wildcard)
+    assert p.tree.pattern == "t?st" and p.tree.boost == 2.0
+    p = parse_query_string("TE*T")
+    assert isinstance(p.tree, Wildcard) and p.tree.pattern == "te*t"
+    p = parse_query_string("spar*")
+    assert isinstance(p.tree, Prefix)
+    p = parse_query_string("text:te*t AND role:user")
+    assert isinstance(p.tree, Wildcard) and p.filters == [("role", "user")]
+    p = parse_query_string("*tail")
+    assert isinstance(p.tree, Wildcard) and p.tree.pattern == "*tail"
+
+
 def test_parser_boolean_grammar():
     from sparkbm25.querystring import Not, Or, Phrase, Term, collect_leaves
 
