@@ -480,6 +480,35 @@ def _flatten_tree(tree) -> tuple[dict[str, float], str] | None:
     return None
 
 
+def _flatten_or_leaves(tree):
+    """OR-of-leaves (or a single leaf) where leaves may be multi-term
+    (Prefix/Fuzzy/Wildcard) besides plain Terms: returns
+    [(kind, payload, boost)] or None. Under OR, every dictionary
+    expansion of a multi-term leaf scores independently with the
+    leaf's boost and the candidate set is the union — exactly the
+    flat-weights shape the driver OR algorithms implement, so these
+    queries need no batch detour once expanded (the expansion itself
+    is one banded dictionary job, cached per leaf). AND trees with
+    multi-term leaves stay on the batch path (AND-of-ORs is not a
+    flat intersection)."""
+    from sparkbm25 import querystring as qs
+
+    leaves = tree.children if isinstance(tree, qs.Or) else [tree]
+    out = []
+    for c in leaves:
+        if isinstance(c, qs.Term):
+            out.append(("term", c.text, float(c.boost)))
+        elif isinstance(c, qs.Prefix):
+            out.append(("prefix", c.prefix, float(c.boost)))
+        elif isinstance(c, qs.Fuzzy):
+            out.append(("fuzzy", (c.term, c.max_edits), float(c.boost)))
+        elif isinstance(c, qs.Wildcard):
+            out.append(("wildcard", c.pattern, float(c.boost)))
+        else:
+            return None
+    return out or None
+
+
 def _plans_to_rows(plans: list[_QueryPlan]) -> pd.DataFrame:
     """Leaf/term rows for the broadcast join:
     (query_id, term, slot, tidx, weight, is_phrase, n_terms, slop, k)."""
@@ -1190,6 +1219,14 @@ class Searcher:
         # forward-table DataFrame cache (filtered driver path + doc
         # resolve): created lazily, rebound by refresh()
         self._docs_df: DataFrame | None = None
+        # multi-term expansion cache (prefix/fuzzy/wildcard leaf key
+        # -> sorted dictionary expansions): interactive sessions
+        # repeat patterns, and the banded dictionary job is the only
+        # Spark work a warm wildcard query would otherwise pay.
+        # Budgeted by TOTAL cached expansion terms; refresh() clears.
+        self.exp_cache_budget = 100_000
+        self._exp_cache: dict[str, list[str]] = {}
+        self._exp_cache_terms = 0
         self.last_path: str | None = None
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(index_dir)
         # per-generation segment DataFrames created ONCE: repeated
@@ -1217,6 +1254,8 @@ class Searcher:
         self._post_cache_postings = 0
         self._doc_cache.clear()
         self._docs_df = None
+        self._exp_cache.clear()
+        self._exp_cache_terms = 0
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(self.index_dir)
         self._seg_dfs = [
             self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
@@ -1409,6 +1448,63 @@ class Searcher:
             self._cache_doc(int(r["doc_ord"]),
                             (r["conv_id"], int(r["turn_idx"]),
                              {a: r[a] for a in attrs}))
+
+    def _expand_to_weights(self, leaves) -> dict[str, float]:
+        """Resolve [(kind, payload, boost)] OR-leaves into flat
+        term->weight form, expanding multi-term leaves against the
+        term dictionary (same banded _expand_multiterm job the batch
+        path runs, ValueError on max_expansions like the batch path)
+        with a bounded LRU cache — a warm wildcard/prefix query skips
+        the dictionary job entirely. Under OR, each expansion scores
+        independently with its leaf's boost, so weights simply sum."""
+        keys = []
+        for kind, payload, boost in leaves:
+            if kind == "term":
+                keys.append(None)
+            elif kind == "prefix":
+                keys.append(f"p:{payload}")
+            elif kind == "fuzzy":
+                keys.append(f"f:{payload[0]}~{payload[1]}")
+            else:
+                keys.append(f"w:{payload}")
+        missing = [(leaves[i], keys[i]) for i in range(len(leaves))
+                   if keys[i] is not None and keys[i] not in self._exp_cache]
+        if missing:
+            prefixes = sorted({lf[1] for lf, k in missing
+                               if lf[0] == "prefix"})
+            fuzzies = sorted({lf[1] for lf, k in missing
+                              if lf[0] == "fuzzy"})
+            wildcards = sorted({lf[1] for lf, k in missing
+                                if lf[0] == "wildcard"})
+            exp = _expand_multiterm(self.spark, self.index_dir,
+                                    prefixes, fuzzies, wildcards)
+            for key, terms in exp.items():
+                n = len(terms)
+                while (self._exp_cache_terms + n > self.exp_cache_budget
+                       and self._exp_cache):
+                    old = next(iter(self._exp_cache))
+                    self._exp_cache_terms -= len(self._exp_cache.pop(old))
+                self._exp_cache[key] = terms
+                self._exp_cache_terms += n
+        weights: dict[str, float] = {}
+        for (kind, payload, boost), key in zip(leaves, keys):
+            if key is None:
+                weights[payload] = weights.get(payload, 0.0) + boost
+            else:
+                hit = self._exp_cache.get(key)
+                if hit is None:     # evicted mid-call (tiny budget)
+                    hit = _expand_multiterm(
+                        self.spark, self.index_dir,
+                        [payload] if kind == "prefix" else [],
+                        [payload] if kind == "fuzzy" else [],
+                        [payload] if kind == "wildcard" else [])[key]
+                # LRU refresh
+                elif key in self._exp_cache:
+                    self._exp_cache.pop(key)
+                    self._exp_cache[key] = hit
+                for t in hit:
+                    weights[t] = weights.get(t, 0.0) + boost
+        return weights
 
     def _forward_docs(self) -> DataFrame:
         """The forward table as a cached DataFrame: repeated filtered
@@ -1619,6 +1715,14 @@ class Searcher:
             return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         flat = (_flatten_tree(parsed.tree)
                 if (parsed.explicit and parsed.tree is not None) else None)
+        if flat is None and parsed.explicit and parsed.tree is not None:
+            # OR-of-leaves with multi-term members (prefix / fuzzy /
+            # wildcard): expand against the dictionary (cached) and
+            # serve on the driver like any flat OR — round-5 removed
+            # the batch detour for these too
+            or_leaves = _flatten_or_leaves(parsed.tree)
+            if or_leaves is not None:
+                flat = (self._expand_to_weights(or_leaves), "or")
         if parsed.has_filters:
             if parsed.tree is None or (parsed.explicit and flat is None):
                 # filter-only (constant-score semantics) or a complex
@@ -1630,8 +1734,14 @@ class Searcher:
                 weights = {t: float(q) for t, q in Counter(
                     tokenize_one(parsed.text, cfg.token_pattern)).items()}
                 fmode = mode
-            if not weights:
+            if not weights and not parsed.explicit:
+                # implicit query whose text analyzed to nothing under
+                # a filter: the batch path's filter-only const-score
+                # semantics apply (ES filter context)
                 return self._via_batch(query_text, k, mode)
+            # explicit empty weights (a required multi-term leaf that
+            # expanded to zero dictionary terms) correctly yield zero
+            # hits on the driver — no batch job needed
             out = self._search_filtered_driver(parsed, weights, fmode, k)
             if out is None:
                 return self._via_batch(query_text, k, mode)

@@ -273,6 +273,11 @@ def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
     def w():
         return rng.choice(vocab)
 
+    long_vocab = [v for v in vocab if len(v) >= 5] or vocab
+
+    def wl():
+        return rng.choice(long_vocab)
+
     shapes = [
         lambda: f"{w()} AND {w()}",
         lambda: f"{w()} OR {w()}^2",
@@ -281,9 +286,17 @@ def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
         lambda: f"NOT role:{rng.choice(roles)} ({w()} OR {w()})",
         lambda: f"turn_idx:[0 TO 3] {w()}",
         lambda: f"text:{w()} AND role:{rng.choice(roles)}",
+        # round-5 driver expansion: multi-term leaves under OR / alone
+        # / under filters serve driver-side too
+        lambda: f"{wl()[:4]}*",
+        lambda: f"{wl()[:4]}* OR {w()}^2",
+        lambda: f"{wl()}~1",
+        lambda: (lambda t: f"{t[:2]}*{t[-1]} OR {w()}")(wl()),
+        lambda: f"role:{rng.choice(roles)} {wl()[:4]}*",
+        lambda: f"turn_idx:[1 TO 4] ({wl()}~1 OR {w()})",
     ]
     s = Searcher(spark, d)
-    texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(12)]
+    texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(16)]
     for qt in texts:
         got = s.search(qt, k=15)
         assert s.last_path in ("filtered", "maxscore", "and", None), \

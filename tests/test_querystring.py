@@ -295,6 +295,52 @@ def test_explicit_flat_trees_on_driver(spark, built):
     assert s.last_path == "batch"
 
 
+def test_multiterm_leaves_on_driver(spark, built):
+    """Prefix/fuzzy/wildcard leaves (alone, under OR, under filters)
+    serve on the DRIVER via the cached dictionary expansion — round 5
+    removed the batch detour. Warm repeats skip the expansion job."""
+    t, d = built
+    s = Searcher(spark, d)
+    for q, want in [("alph*", "maxscore"),
+                    ("alph* OR w0001", "maxscore"),
+                    ("alpha~1", "maxscore"),
+                    ("al*a", "maxscore"),
+                    ("role:user alph*", "filtered")]:
+        got = s.search(q, k=10)
+        assert s.last_path == want, (q, s.last_path)
+        qdf = pd.DataFrame({"query_id": [0], "query_text": [q], "k": [10]})
+        exp = (search_batch(spark, d, qdf, k=10)
+               .toPandas().sort_values("rank").reset_index(drop=True))
+        assert got["conv_id"].tolist() == exp["conv_id"].tolist(), q
+        np.testing.assert_allclose(got["score"].astype(float),
+                                   exp["score"].astype(float), rtol=1e-9)
+    # the expansion cache holds the leaves just used
+    assert any(k.startswith("p:alph") for k in s._exp_cache)
+    # warm repeat must not re-run the expansion job
+    import sparkbm25.search as sm
+
+    orig = sm._expand_multiterm
+
+    def boom(*a, **kw):
+        raise AssertionError("expansion job on a warm repeat")
+
+    sm._expand_multiterm = boom
+    try:
+        again = s.search("alph* OR w0001", k=10)
+        assert s.last_path == "maxscore" and len(again) > 0
+    finally:
+        sm._expand_multiterm = orig
+    # empty expansion: explicit required leaf matching nothing yields
+    # zero hits without a batch job (filtered) / empty result (plain)
+    out = s.search("zzzqqq* OR qqqzzz*", k=5)
+    assert len(out) == 0
+    out = s.search("role:user zzzqqq*", k=5)
+    assert len(out) == 0 and s.last_path is None
+    # AND trees with multi-term leaves stay on the batch path
+    s.search("alph* AND w0001", k=5)
+    assert s.last_path == "batch"
+
+
 def test_filter_on_missing_field_raises(spark, built):
     _, d = built
     q = pd.DataFrame({"query_id": [0], "query_text": ["role:user alpha"], "k": [5]})
