@@ -504,6 +504,12 @@ def _flatten_or_leaves(tree):
             out.append(("fuzzy", (c.term, c.max_edits), float(c.boost)))
         elif isinstance(c, qs.Wildcard):
             out.append(("wildcard", c.pattern, float(c.boost)))
+        elif isinstance(c, qs.Phrase):
+            # positions verify driver-side (_eval_phrase): under OR a
+            # phrase is just another leaf whose (docs, scores) pair
+            # merges into the union
+            out.append(("phrase", (tuple(c.terms), int(c.slop)),
+                        float(c.boost)))
         else:
             return None
     return out or None
@@ -1037,12 +1043,29 @@ class _TermPostings:
     math."""
 
     __slots__ = ("firsts", "max_impacts", "firsts_np", "max_np",
-                 "starts", "all_docs", "all_tfs", "all_dls", "total", "n")
+                 "starts", "all_docs", "all_tfs", "all_dls", "total", "n",
+                 "pos_blobs", "pos_bytes")
 
     def __init__(self, blocks: list):
         blocks = sorted(blocks, key=lambda blk: blk["first_doc"] if isinstance(blk, dict) else blk.first_doc)
         get = ((lambda blk, k: blk[k]) if (blocks and isinstance(blocks[0], dict))
                else (lambda blk, k: getattr(blk, k)))
+        # raw positions blobs (varint, ~1-2 B/occurrence) kept per
+        # block when the index stores positions: the interactive
+        # phrase path decodes ONLY the blocks its candidate docs live
+        # in (positions_of). Kept compressed — decoded positions would
+        # several-fold the cache footprint for queries that never
+        # verify a phrase.
+        self.pos_blobs = None
+        self.pos_bytes = 0
+        if blocks:
+            try:
+                first_pos = get(blocks[0], "pos")
+            except (KeyError, AttributeError):
+                first_pos = None
+            if first_pos is not None:
+                self.pos_blobs = [get(blk, "pos") for blk in blocks]
+                self.pos_bytes = sum(len(b) for b in self.pos_blobs)
         self.firsts = [get(blk, "first_doc") for blk in blocks]
         self.max_impacts = [float(get(blk, "max_impact")) for blk in blocks]
         self.firsts_np = np.asarray(self.firsts, dtype=np.int64)
@@ -1077,6 +1100,28 @@ class _TermPostings:
             self.all_docs = cs - np.repeat(base, ns)
         else:
             self.all_docs = np.empty(0, dtype=np.int64)
+
+    def positions_of(self, idx: np.ndarray) -> list[np.ndarray]:
+        """Absolute token positions of the postings at flat indices
+        `idx`, decoding only the blocks those postings live in (each
+        needed block's varint pos stream decodes once per call).
+        Requires pos blobs (index built with store_positions)."""
+        from sparkbm25.codec import decode_block_positions
+
+        out: list[np.ndarray | None] = [None] * len(idx)
+        bi = np.searchsorted(self.starts, idx, side="right") - 1
+        cache: dict[int, tuple] = {}
+        for j, (g, b) in enumerate(zip(idx.tolist(), bi.tolist())):
+            got = cache.get(b)
+            if got is None:
+                tfs_blk = self.all_tfs[self.starts[b]:self.starts[b + 1]]
+                got = decode_block_positions(
+                    {"pos": self.pos_blobs[b]}, tfs_blk)
+                cache[b] = got
+            flat, occ = got
+            local = g - int(self.starts[b])
+            out[j] = flat[occ[local]:occ[local + 1]]
+        return out
 
 
 class _Cursor:
@@ -1206,7 +1251,7 @@ class Searcher:
         # mix thrashes — a 5M budget measurably evicted the first hot
         # term of the 10-query bench set between passes.
         self.cache_postings_budget = max_driver_postings
-        self._post_cache: dict[str, tuple["_TermPostings | list", int]] = {}
+        self._post_cache: dict[str, tuple["_TermPostings | list", int, int]] = {}
         self._post_cache_postings = 0
         # doc_ord -> (conv_id, turn_idx, {attr: value}) forward-row
         # cache (LRU, bounded entries): each search resolves <= k
@@ -1365,7 +1410,7 @@ class Searcher:
                 self._post_cache.pop(t)
                 self._post_cache[t] = hit
                 if hit[1] > 0:
-                    cached[t], cached_dfs[t] = hit
+                    cached[t], cached_dfs[t] = hit[0], hit[1]
             else:
                 missing.append(t)
         if not missing:
@@ -1374,22 +1419,27 @@ class Searcher:
         # insert misses; evict least-recently-used first (plain dict
         # preserves insertion order and hits re-insert above). Terms
         # the scan proved ABSENT are cached as empty at zero budget
-        # cost, so repeated misses never rescan.
+        # cost, so repeated misses never rescan. Cache entries are
+        # (postings, df, cost): cost = postings + retained raw
+        # position bytes in posting-equivalents (~24 B of decoded
+        # arrays per posting), so positions-bearing indexes charge
+        # their pos blobs against the same budget.
         for t in missing:
             n = dfs.get(t, 0)
             if n == 0:
                 if self.cache_postings_budget > 0:
-                    self._post_cache[t] = ([], 0)
+                    self._post_cache[t] = ([], 0, 0)
                 continue
-            if n > self.cache_postings_budget:
+            cost = n + getattr(post[t], "pos_bytes", 0) // 24
+            if cost > self.cache_postings_budget:
                 continue
-            while (self._post_cache_postings + n > self.cache_postings_budget
+            while (self._post_cache_postings + cost > self.cache_postings_budget
                    and self._post_cache):
                 old_t = next(iter(self._post_cache))
-                _, old_n = self._post_cache.pop(old_t)
-                self._post_cache_postings -= old_n
-            self._post_cache[t] = (post[t], n)
-            self._post_cache_postings += n
+                old = self._post_cache.pop(old_t)
+                self._post_cache_postings -= old[2]
+            self._post_cache[t] = (post[t], n, cost)
+            self._post_cache_postings += cost
         cached.update(post)
         cached_dfs.update(dfs)
         return cached, cached_dfs
@@ -1630,6 +1680,17 @@ class Searcher:
             idf = float(np.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)))
             cursors.append(_Cursor(postings[t], weights[t] * idf * (k1 + 1.0)))
         cand, scores = self._score_all(cursors, fmode, k1, b, avgdl)
+        return self._filtered_probe(parsed, cand, scores, k)
+
+    def _filtered_probe(self, parsed, cand: np.ndarray, scores: np.ndarray,
+                        k: int) -> pd.DataFrame | None:
+        """Apply the structured filter to a fully-scored candidate set
+        in score order (shared by the flat filtered path and the
+        OR-leaves path). Returns the top-k DataFrame, or None when the
+        probe budget says the distributed path should run."""
+        from sparkbm25.querystring import python_filter
+
+        empty = pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         if cand.size == 0:
             self.last_path = "filtered"
             return empty
@@ -1692,6 +1753,170 @@ class Searcher:
             "score": [s[0] for s in survivors],
         })
 
+    def _eval_phrase(self, terms: tuple, slop: int, boost: float,
+                     postings: dict, dfs: dict) -> tuple[np.ndarray, np.ndarray]:
+        """One phrase leaf driver-side: intersect the member terms'
+        postings (rarest first), decode positions ONLY for the blocks
+        the intersection docs live in, verify adjacency (slop 0) or
+        the documented sloppy span (_sloppy_exists), and score
+        survivors as boost × Σ member-term BM25 contributions — the
+        exact contract of the batch path's verify_group. Candidate
+        count is bounded by the rarest member's df; the per-doc verify
+        loop is the same work the batch path does inside
+        applyInPandas, minus the job."""
+        zero = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not terms or any(t not in dfs for t in terms):
+            return zero
+        tps = [postings[t] for t in terms]
+        cs = sorted(range(len(terms)), key=lambda i: tps[i].total)
+        cand = tps[cs[0]].all_docs
+        for i in cs[1:]:
+            tp = tps[i]
+            idx = np.searchsorted(tp.all_docs, cand, side="left")
+            idx_c = np.clip(idx, 0, tp.total - 1)
+            cand = cand[tp.all_docs[idx_c] == cand]
+            if cand.size == 0:
+                return zero
+        slot_pos = []
+        for tp in tps:
+            idx = np.searchsorted(tp.all_docs, cand, side="left")
+            slot_pos.append(tp.positions_of(idx))
+        tidxs = np.arange(len(terms))
+        keep = np.zeros(cand.size, dtype=bool)
+        m = len(terms)
+        for i in range(cand.size):
+            lists = [np.asarray(slot_pos[s][i], dtype=np.int64) - s
+                     for s in range(m)]
+            if slop == 0:
+                base = lists[0]
+                for arr in lists[1:]:
+                    base = np.intersect1d(base, arr)
+                    if base.size == 0:
+                        break
+                keep[i] = base.size > 0
+            else:
+                keep[i] = _sloppy_exists(lists, tidxs, slop)
+        cand = cand[keep]
+        if cand.size == 0:
+            return zero
+        cfg = self.cfg
+        k1, b, avgdl, N = cfg.k1, cfg.b, self.avgdl, self.n_docs
+        scores = np.zeros(cand.size)
+        for t, tp in zip(terms, tps):
+            idf = float(np.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+            w = boost * idf * (k1 + 1.0)
+            idx = np.searchsorted(tp.all_docs, cand, side="left")
+            tf = tp.all_tfs[idx]
+            dl = tp.all_dls[idx]
+            scores += w * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return cand, scores
+
+    def _merge_parts(self, parts) -> tuple[np.ndarray, np.ndarray]:
+        """Union-merge per-leaf (docs, scores) pairs (per-doc sums),
+        bincount-dense when the corpus allows (see _score_all)."""
+        parts = [(d, s) for d, s in parts if d.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if len(parts) == 1:
+            return parts[0]
+        alldocs = np.concatenate([d for d, _ in parts])
+        allsc = np.concatenate([s for _, s in parts])
+        if (self.n_docs <= max(8 * alldocs.size, 1 << 20)
+                and float(allsc.min(initial=1.0)) > 0.0):
+            dense = np.bincount(alldocs, weights=allsc,
+                                minlength=self.n_docs)
+            uniq = np.flatnonzero(dense)
+            return uniq, dense[uniq]
+        uniq, inv = np.unique(alldocs, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, allsc)
+        return uniq, sums
+
+    def _format_results(self, results: list) -> pd.DataFrame:
+        """[(score, doc_ord)] → (rank, conv_id, turn_idx, score) with
+        the shared forward-row cache resolving doc_ords."""
+        if not results:
+            return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        results.sort(key=lambda x: (-x[0], x[1]))
+        ords = [d for _, d in results]
+        self._fetch_doc_rows(ords)
+        resolved = [self._doc_cache[d] for d in ords]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(results) + 1, dtype=np.int32),
+                "conv_id": [r[0] for r in resolved],
+                "turn_idx": [r[1] for r in resolved],
+                "score": [s for s, _ in results],
+            }
+        )
+
+    def _search_or_leaves(self, parsed, leaves, k: int) -> pd.DataFrame | None:
+        """Driver path for OR-of-leaves trees containing PHRASE leaves
+        (possibly mixed with terms / expanded multi-term leaves),
+        filtered or not (round 5: phrases were the last query shape
+        paying the batch detour interactively). Returns None when the
+        probe bound or filter-probe budget routes to batch."""
+        cfg = self.cfg
+        empty = pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        phrases = [(payload[0], payload[1], boost)
+                   for kind, payload, boost in leaves if kind == "phrase"]
+        if phrases and not cfg.store_positions:
+            raise ValueError(
+                "phrase queries need an index built with "
+                "IndexConfig(store_positions=True)")
+        if parsed.has_filters:
+            docs_df = self._forward_docs()
+            missing_f = {fld for fld, _ in
+                         list(parsed.filters) + list(parsed.neg_filters)
+                         if fld not in docs_df.columns}
+            if missing_f:
+                raise ValueError(
+                    f"query_string filter fields not in index forward "
+                    f"table: {missing_f}")
+        flat = [lv for lv in leaves if lv[0] != "phrase"]
+        weights = self._expand_to_weights(flat) if flat else {}
+        all_terms = sorted(set(weights)
+                           | {t for ph in phrases for t in ph[0]})
+        if not all_terms:
+            self.last_path = None
+            return empty
+        probe_dfs = self._probe_dfs(all_terms)
+        if sum(probe_dfs.values()) > self.max_driver_postings:
+            return None
+        present_probe = sorted(t for t in all_terms
+                               if probe_dfs.get(t, 0) > 0)
+        if not present_probe:
+            self.last_path = None
+            return empty
+        postings, dfs = self._fetch_postings(present_probe)
+        k1, b, avgdl, N = cfg.k1, cfg.b, self.avgdl, self.n_docs
+        parts = []
+        flat_present = sorted(t for t in weights if t in dfs)
+        if flat_present:
+            cursors = []
+            for t in flat_present:
+                idf = float(np.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+                cursors.append(
+                    _Cursor(postings[t], weights[t] * idf * (k1 + 1.0)))
+            parts.append(self._score_all(cursors, "or", k1, b, avgdl))
+        for terms, slop, boost in phrases:
+            parts.append(self._eval_phrase(terms, slop, boost,
+                                           postings, dfs))
+        cand, scores = self._merge_parts(parts)
+        if parsed.has_filters:
+            return self._filtered_probe(parsed, cand, scores, k)
+        self.last_path = "or_merge"
+        if cand.size == 0:
+            return empty
+        if cand.size > max(4 * k, 64):
+            kth = np.partition(scores, cand.size - k)[cand.size - k] \
+                if cand.size > k else -np.inf
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        results = [(float(scores[i]), int(cand[i])) for i in order]
+        return self._format_results(results)
+
     def search(self, query_text: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
         """-> pandas (rank, conv_id, turn_idx, score). Accepts
         query_string syntax. Routing:
@@ -1703,9 +1928,15 @@ class Searcher:
             `term AND role:user` — VERDICT r4 item 6): postings fetch
             + full driver scoring, then the filter applies via small
             doc_block-pruned forward-table probes in score order;
-          * phrases / NOT / nested trees / filter-only queries route
-            through the batch path's mask/verify machinery, as do
-            queries whose postings blow max_driver_postings."""
+          * multi-term leaves (prefix/fuzzy/wildcard) under one OR —
+            or alone — expand against the dictionary (cached) and
+            join the flat path; phrase leaves (exact and sloppy)
+            verify driver-side from the cached postings' position
+            blobs (_search_or_leaves), filtered or not;
+          * NOT / nested mixed trees / AND-with-multi-term /
+            filter-only queries route through the batch path's
+            mask/verify machinery, as do queries whose postings blow
+            max_driver_postings."""
         from sparkbm25.querystring import parse_query_string
 
         parsed = parse_query_string(query_text, self.cfg.token_pattern)
@@ -1717,11 +1948,16 @@ class Searcher:
                 if (parsed.explicit and parsed.tree is not None) else None)
         if flat is None and parsed.explicit and parsed.tree is not None:
             # OR-of-leaves with multi-term members (prefix / fuzzy /
-            # wildcard): expand against the dictionary (cached) and
-            # serve on the driver like any flat OR — round-5 removed
-            # the batch detour for these too
+            # wildcard) or phrase leaves: expand/verify on the driver
+            # like any flat OR — round-5 removed the batch detour for
+            # these too
             or_leaves = _flatten_or_leaves(parsed.tree)
             if or_leaves is not None:
+                if any(lv[0] == "phrase" for lv in or_leaves):
+                    out = self._search_or_leaves(parsed, or_leaves, k)
+                    if out is None:
+                        return self._via_batch(query_text, k, mode)
+                    return out
                 flat = (self._expand_to_weights(or_leaves), "or")
         if parsed.has_filters:
             if parsed.tree is None or (parsed.explicit and flat is None):
@@ -1795,21 +2031,7 @@ class Searcher:
         else:
             self.last_path = "maxscore"
             results = self._maxscore_or(cursors, k, k1, b, avgdl)
-        if not results:
-            return pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
-        results.sort(key=lambda x: (-x[0], x[1]))
-        ords = [d for _, d in results]
-        self._fetch_doc_rows(ords)
-        resolved = [self._doc_cache[d] for d in ords]
-        out = pd.DataFrame(
-            {
-                "rank": np.arange(1, len(results) + 1, dtype=np.int32),
-                "conv_id": [r[0] for r in resolved],
-                "turn_idx": [r[1] for r in resolved],
-                "score": [s for s, _ in results],
-            }
-        )
-        return out
+        return self._format_results(results)
 
     @staticmethod
     def _wand_or(cursors: list[_Cursor], k: int, k1: float, b: float, avgdl: float):

@@ -241,6 +241,7 @@ def _gen_queries(rng, vocab):
         lambda: f'"{w()} {w()}"',
         lambda: f'"{w()} {w()}"~{int(rng.integers(1, 4))}',
         lambda: f'"{w()} {w()}"~2 OR {w()}',
+        lambda: f'"{w()} {w()} {w()}"~{int(rng.integers(1, 4))}',
         lambda: f"text:{w()} AND role:{rng.choice(roles)}",
         lambda: f"text:{w()[:4]}* OR {w()}",
         lambda: f"{w()[:4]}*",
@@ -294,13 +295,18 @@ def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
         lambda: (lambda t: f"{t[:2]}*{t[-1]} OR {w()}")(wl()),
         lambda: f"role:{rng.choice(roles)} {wl()[:4]}*",
         lambda: f"turn_idx:[1 TO 4] ({wl()}~1 OR {w()})",
+        # round-5 phrase driver path: phrases (exact + sloppy) alone,
+        # under OR, and under filters verify on the driver too
+        lambda: f'"{w()} {w()}"',
+        lambda: f'"{w()} {w()}"~2 OR {w()}',
+        lambda: f'role:{rng.choice(roles)} "{w()} {w()}"~1',
     ]
     s = Searcher(spark, d)
-    texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(16)]
+    texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(18)]
     for qt in texts:
         got = s.search(qt, k=15)
-        assert s.last_path in ("filtered", "maxscore", "and", None), \
-            (qt, s.last_path)
+        assert s.last_path in ("filtered", "maxscore", "and", "or_merge",
+                               None), (qt, s.last_path)
         q = pd.DataFrame({"query_id": [0], "query_text": [qt], "k": [15]})
         exp = (search_batch(spark, d, q, k=15).toPandas()
                .sort_values("rank").reset_index(drop=True))
