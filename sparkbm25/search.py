@@ -493,9 +493,14 @@ def _flatten_or_leaves(tree):
     flat intersection)."""
     from sparkbm25 import querystring as qs
 
-    leaves = tree.children if isinstance(tree, qs.Or) else [tree]
     out = []
-    for c in leaves:
+    stack = [tree]
+    while stack:
+        c = stack.pop(0)
+        if isinstance(c, qs.Or):
+            # nested ORs flatten (OR is associative)
+            stack = list(c.children) + stack
+            continue
         if isinstance(c, qs.Term):
             out.append(("term", c.text, float(c.boost)))
         elif isinstance(c, qs.Prefix):
@@ -513,6 +518,31 @@ def _flatten_or_leaves(tree):
         else:
             return None
     return out or None
+
+
+def _flatten_cnf(tree):
+    """One-level CNF: a single leaf, an OR of leaves, or an AND whose
+    children are leaves / OR-of-leaves (nested ANDs/ORs flatten by
+    associativity). Returns a list of OR-groups of leaf specs, or
+    None for NOT / mixed deeper nesting — those keep the batch path's
+    full mask algebra."""
+    from sparkbm25 import querystring as qs
+
+    if isinstance(tree, qs.And):
+        groups = []
+        stack = list(tree.children)
+        while stack:
+            c = stack.pop(0)
+            if isinstance(c, qs.And):
+                stack = list(c.children) + stack
+                continue
+            g = _flatten_or_leaves(c)
+            if g is None:
+                return None
+            groups.append(g)
+        return groups or None
+    g = _flatten_or_leaves(tree)
+    return [g] if g is not None else None
 
 
 def _plans_to_rows(plans: list[_QueryPlan]) -> pd.DataFrame:
@@ -1850,46 +1880,16 @@ class Searcher:
             }
         )
 
-    def _search_or_leaves(self, parsed, leaves, k: int) -> pd.DataFrame | None:
-        """Driver path for OR-of-leaves trees containing PHRASE leaves
-        (possibly mixed with terms / expanded multi-term leaves),
-        filtered or not (round 5: phrases were the last query shape
-        paying the batch detour interactively). Returns None when the
-        probe bound or filter-probe budget routes to batch."""
+    def _group_union(self, leaves, postings, dfs) -> tuple[np.ndarray, np.ndarray]:
+        """One OR-group's (docs, scores) union: flat/expanded leaves
+        through weighted cursors, phrase leaves through _eval_phrase,
+        merged with per-doc score sums."""
         cfg = self.cfg
-        empty = pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        k1, b, avgdl, N = cfg.k1, cfg.b, self.avgdl, self.n_docs
         phrases = [(payload[0], payload[1], boost)
                    for kind, payload, boost in leaves if kind == "phrase"]
-        if phrases and not cfg.store_positions:
-            raise ValueError(
-                "phrase queries need an index built with "
-                "IndexConfig(store_positions=True)")
-        if parsed.has_filters:
-            docs_df = self._forward_docs()
-            missing_f = {fld for fld, _ in
-                         list(parsed.filters) + list(parsed.neg_filters)
-                         if fld not in docs_df.columns}
-            if missing_f:
-                raise ValueError(
-                    f"query_string filter fields not in index forward "
-                    f"table: {missing_f}")
         flat = [lv for lv in leaves if lv[0] != "phrase"]
         weights = self._expand_to_weights(flat) if flat else {}
-        all_terms = sorted(set(weights)
-                           | {t for ph in phrases for t in ph[0]})
-        if not all_terms:
-            self.last_path = None
-            return empty
-        probe_dfs = self._probe_dfs(all_terms)
-        if sum(probe_dfs.values()) > self.max_driver_postings:
-            return None
-        present_probe = sorted(t for t in all_terms
-                               if probe_dfs.get(t, 0) > 0)
-        if not present_probe:
-            self.last_path = None
-            return empty
-        postings, dfs = self._fetch_postings(present_probe)
-        k1, b, avgdl, N = cfg.k1, cfg.b, self.avgdl, self.n_docs
         parts = []
         flat_present = sorted(t for t in weights if t in dfs)
         if flat_present:
@@ -1902,12 +1902,86 @@ class Searcher:
         for terms, slop, boost in phrases:
             parts.append(self._eval_phrase(terms, slop, boost,
                                            postings, dfs))
-        cand, scores = self._merge_parts(parts)
+        return self._merge_parts(parts)
+
+    def _search_cnf(self, parsed, groups, k: int) -> pd.DataFrame | None:
+        """Driver path for one-level CNF trees — AND of OR-groups
+        whose members are any leaf kind (terms, prefix/fuzzy/wildcard
+        expansions, exact/sloppy phrases), filtered or not. Round 5:
+        these shapes (`"a b" OR c`, `(a OR spar*) AND (c OR d)`, a
+        filtered phrase) previously paid the distributed batch detour.
+
+        Semantics parity with the batch path's mask algebra: a doc is
+        accepted when EVERY group has >=1 matched leaf, and its score
+        is the sum over ALL matched positive leaves — i.e. the sum of
+        the per-group union scores, restricted to the intersection of
+        the groups' doc sets. Returns None when the probe bound or
+        the filter-probe budget routes to batch."""
+        cfg = self.cfg
+        empty = pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
+        all_phrase_terms = [t for g in groups
+                            for kind, payload, _ in g if kind == "phrase"
+                            for t in payload[0]]
+        if all_phrase_terms and not cfg.store_positions:
+            raise ValueError(
+                "phrase queries need an index built with "
+                "IndexConfig(store_positions=True)")
+        if parsed.has_filters:
+            docs_df = self._forward_docs()
+            missing_f = {fld for fld, _ in
+                         list(parsed.filters) + list(parsed.neg_filters)
+                         if fld not in docs_df.columns}
+            if missing_f:
+                raise ValueError(
+                    f"query_string filter fields not in index forward "
+                    f"table: {missing_f}")
+        # expansion happens per group (cached), so collect the full
+        # term set for ONE probe + ONE fetch across all groups
+        group_weights = []
+        for g in groups:
+            flat = [lv for lv in g if lv[0] != "phrase"]
+            group_weights.append(self._expand_to_weights(flat) if flat else {})
+        all_terms = sorted(
+            {t for w in group_weights for t in w} | set(all_phrase_terms))
+        if not all_terms:
+            self.last_path = None
+            return empty
+        probe_dfs = self._probe_dfs(all_terms)
+        if sum(probe_dfs.values()) > self.max_driver_postings:
+            return None
+        present_probe = sorted(t for t in all_terms
+                               if probe_dfs.get(t, 0) > 0)
+        if not present_probe:
+            self.last_path = None
+            return empty
+        postings, dfs = self._fetch_postings(present_probe)
+        pairs = []
+        for g in groups:
+            d, s = self._group_union(g, postings, dfs)
+            if d.size == 0:
+                # a required group matching nothing ⇒ zero hits
+                self.last_path = ("filtered" if parsed.has_filters
+                                  else "or_merge")
+                return empty
+            pairs.append((d, s))
+        # intersect groups (smallest drives), summing per-group scores
+        pairs.sort(key=lambda p: p[0].size)
+        cand = pairs[0][0]
+        for d, _ in pairs[1:]:
+            idx = np.searchsorted(d, cand, side="left")
+            idx_c = np.clip(idx, 0, d.size - 1)
+            cand = cand[d[idx_c] == cand]
+            if cand.size == 0:
+                self.last_path = ("filtered" if parsed.has_filters
+                                  else "or_merge")
+                return empty
+        scores = np.zeros(cand.size)
+        for d, s in pairs:
+            idx = np.searchsorted(d, cand, side="left")
+            scores += s[idx]
         if parsed.has_filters:
             return self._filtered_probe(parsed, cand, scores, k)
         self.last_path = "or_merge"
-        if cand.size == 0:
-            return empty
         if cand.size > max(4 * k, 64):
             kth = np.partition(scores, cand.size - k)[cand.size - k] \
                 if cand.size > k else -np.inf
@@ -1928,15 +2002,15 @@ class Searcher:
             `term AND role:user` — VERDICT r4 item 6): postings fetch
             + full driver scoring, then the filter applies via small
             doc_block-pruned forward-table probes in score order;
-          * multi-term leaves (prefix/fuzzy/wildcard) under one OR —
-            or alone — expand against the dictionary (cached) and
-            join the flat path; phrase leaves (exact and sloppy)
-            verify driver-side from the cached postings' position
-            blobs (_search_or_leaves), filtered or not;
-          * NOT / nested mixed trees / AND-with-multi-term /
-            filter-only queries route through the batch path's
-            mask/verify machinery, as do queries whose postings blow
-            max_driver_postings."""
+          * one-level CNF trees — AND of OR-groups whose members are
+            any leaf kind (terms, prefix/fuzzy/wildcard expansions
+            via the cached dictionary job, exact and sloppy phrases
+            verified from cached position blobs) — evaluate fully on
+            the driver (_search_cnf / _group_union / _eval_phrase),
+            filtered or not;
+          * NOT and deeper mixed nesting keep the batch path's full
+            mask algebra, as do filter-only queries and queries whose
+            postings blow max_driver_postings."""
         from sparkbm25.querystring import parse_query_string
 
         parsed = parse_query_string(query_text, self.cfg.token_pattern)
@@ -1947,18 +2021,24 @@ class Searcher:
         flat = (_flatten_tree(parsed.tree)
                 if (parsed.explicit and parsed.tree is not None) else None)
         if flat is None and parsed.explicit and parsed.tree is not None:
-            # OR-of-leaves with multi-term members (prefix / fuzzy /
-            # wildcard) or phrase leaves: expand/verify on the driver
-            # like any flat OR — round-5 removed the batch detour for
-            # these too
-            or_leaves = _flatten_or_leaves(parsed.tree)
-            if or_leaves is not None:
-                if any(lv[0] == "phrase" for lv in or_leaves):
-                    out = self._search_or_leaves(parsed, or_leaves, k)
+            # one-level CNF trees — OR-groups of any leaf kind
+            # (terms / prefix / fuzzy / wildcard expansions, exact and
+            # sloppy phrases), possibly ANDed: expand/verify/intersect
+            # on the driver — round-5 removed the batch detour for
+            # every shape short of NOT and deeper nesting
+            cnf = _flatten_cnf(parsed.tree)
+            if cnf is not None:
+                if len(cnf) == 1 and all(lv[0] != "phrase"
+                                         for lv in cnf[0]):
+                    # plain OR-of-expandable-leaves: the theta-pruned
+                    # MaxScore/WAND algorithms are faster than the
+                    # full-union CNF evaluator
+                    flat = (self._expand_to_weights(cnf[0]), "or")
+                else:
+                    out = self._search_cnf(parsed, cnf, k)
                     if out is None:
                         return self._via_batch(query_text, k, mode)
                     return out
-                flat = (self._expand_to_weights(or_leaves), "or")
         if parsed.has_filters:
             if parsed.tree is None or (parsed.explicit and flat is None):
                 # filter-only (constant-score semantics) or a complex

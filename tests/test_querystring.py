@@ -288,10 +288,17 @@ def test_explicit_flat_trees_on_driver(spark, built):
         assert got["conv_id"].tolist() == exp["conv_id"].tolist(), q
         np.testing.assert_allclose(got["score"].astype(float),
                                    exp["score"].astype(float), rtol=1e-9)
-    # non-flat trees still route to batch
+    # one-level CNF now serves on the driver too (round 5)
+    got = s.search("(alpha OR w0001) AND beta", k=5)
+    assert s.last_path == "or_merge"
+    qdf = pd.DataFrame({"query_id": [0],
+                        "query_text": ["(alpha OR w0001) AND beta"],
+                        "k": [5]})
+    exp = (search_batch(spark, d, qdf, k=5)
+           .toPandas().sort_values("rank").reset_index(drop=True))
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    # NOT trees still route to batch (mask algebra)
     s.search("alpha OR NOT w0001", k=5)
-    assert s.last_path == "batch"
-    s.search("(alpha OR w0001) AND beta", k=5)
     assert s.last_path == "batch"
 
 
@@ -336,9 +343,14 @@ def test_multiterm_leaves_on_driver(spark, built):
     assert len(out) == 0
     out = s.search("role:user zzzqqq*", k=5)
     assert len(out) == 0 and s.last_path is None
-    # AND trees with multi-term leaves stay on the batch path
-    s.search("alph* AND w0001", k=5)
-    assert s.last_path == "batch"
+    # AND trees with multi-term leaves serve via the CNF driver path
+    got = s.search("alph* AND w0001", k=5)
+    assert s.last_path == "or_merge"
+    qdf = pd.DataFrame({"query_id": [0], "query_text": ["alph* AND w0001"],
+                        "k": [5]})
+    exp = (search_batch(spark, d, qdf, k=5)
+           .toPandas().sort_values("rank").reset_index(drop=True))
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
 
 
 def test_filter_on_missing_field_raises(spark, built):
