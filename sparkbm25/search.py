@@ -521,28 +521,39 @@ def _flatten_or_leaves(tree):
 
 
 def _flatten_cnf(tree):
-    """One-level CNF: a single leaf, an OR of leaves, or an AND whose
-    children are leaves / OR-of-leaves (nested ANDs/ORs flatten by
-    associativity). Returns a list of OR-groups of leaf specs, or
-    None for NOT / mixed deeper nesting — those keep the batch path's
-    full mask algebra."""
+    """One-level CNF with negation: a single leaf, an OR of leaves,
+    or an AND whose children are leaves / OR-of-leaves / NOT-of-those
+    (nested ANDs/ORs flatten by associativity). Returns
+    (positive_groups, negative_groups) of leaf-spec lists, or None
+    for deeper mixed nesting (NOT under OR, NOT of AND, double NOT) —
+    those keep the batch path's full mask algebra. At least one
+    positive group is required (pure-negative semantics — constant
+    score under a filter — live in the batch path)."""
     from sparkbm25 import querystring as qs
 
     if isinstance(tree, qs.And):
-        groups = []
+        pos, neg = [], []
         stack = list(tree.children)
         while stack:
             c = stack.pop(0)
             if isinstance(c, qs.And):
                 stack = list(c.children) + stack
                 continue
+            if isinstance(c, qs.Not):
+                g = _flatten_or_leaves(c.child)
+                if g is None:
+                    return None
+                neg.append(g)
+                continue
             g = _flatten_or_leaves(c)
             if g is None:
                 return None
-            groups.append(g)
-        return groups or None
+            pos.append(g)
+        if not pos:
+            return None
+        return pos, neg
     g = _flatten_or_leaves(tree)
-    return [g] if g is not None else None
+    return ([g], []) if g is not None else None
 
 
 def _plans_to_rows(plans: list[_QueryPlan]) -> pd.DataFrame:
@@ -1904,22 +1915,25 @@ class Searcher:
                                            postings, dfs))
         return self._merge_parts(parts)
 
-    def _search_cnf(self, parsed, groups, k: int) -> pd.DataFrame | None:
+    def _search_cnf(self, parsed, groups, neg_groups, k: int) -> pd.DataFrame | None:
         """Driver path for one-level CNF trees — AND of OR-groups
         whose members are any leaf kind (terms, prefix/fuzzy/wildcard
-        expansions, exact/sloppy phrases), filtered or not. Round 5:
-        these shapes (`"a b" OR c`, `(a OR spar*) AND (c OR d)`, a
-        filtered phrase) previously paid the distributed batch detour.
+        expansions, exact/sloppy phrases), with optional NEGATED
+        conjuncts (`a AND NOT b`, `x AND NOT (spam OR junk*)`),
+        filtered or not. Round 5: these shapes previously paid the
+        distributed batch detour.
 
         Semantics parity with the batch path's mask algebra: a doc is
-        accepted when EVERY group has >=1 matched leaf, and its score
-        is the sum over ALL matched positive leaves — i.e. the sum of
-        the per-group union scores, restricted to the intersection of
-        the groups' doc sets. Returns None when the probe bound or
-        the filter-probe budget routes to batch."""
+        accepted when EVERY positive group has >=1 matched leaf and NO
+        negative group does; its score is the sum over ALL matched
+        positive leaves — i.e. the sum of the per-group union scores,
+        restricted to the intersection of the positive groups' doc
+        sets minus the negative groups' unions (NOT leaves never
+        score). Returns None when the probe bound or the filter-probe
+        budget routes to batch."""
         cfg = self.cfg
         empty = pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
-        all_phrase_terms = [t for g in groups
+        all_phrase_terms = [t for g in list(groups) + list(neg_groups)
                             for kind, payload, _ in g if kind == "phrase"
                             for t in payload[0]]
         if all_phrase_terms and not cfg.store_positions:
@@ -1937,8 +1951,10 @@ class Searcher:
                     f"table: {missing_f}")
         # expansion happens per group (cached), so collect the full
         # term set for ONE probe + ONE fetch across all groups
+        # (negative groups' terms included — their postings drive the
+        # anti-membership pass and count against the driver bound)
         group_weights = []
-        for g in groups:
+        for g in list(groups) + list(neg_groups):
             flat = [lv for lv in g if lv[0] != "phrase"]
             group_weights.append(self._expand_to_weights(flat) if flat else {})
         all_terms = sorted(
@@ -1979,6 +1995,23 @@ class Searcher:
         for d, s in pairs:
             idx = np.searchsorted(d, cand, side="left")
             scores += s[idx]
+        # negated conjuncts: remove docs matching ANY negative group's
+        # union (anti-membership via searchsorted; NOT leaves never
+        # score, so only the doc sets matter)
+        for g in neg_groups:
+            if cand.size == 0:
+                break
+            d_neg, _ = self._group_union(g, postings, dfs)
+            if d_neg.size == 0:
+                continue
+            idx = np.searchsorted(d_neg, cand, side="left")
+            idx_c = np.clip(idx, 0, d_neg.size - 1)
+            keep = d_neg[idx_c] != cand
+            cand, scores = cand[keep], scores[keep]
+        if cand.size == 0:
+            self.last_path = ("filtered" if parsed.has_filters
+                              else "or_merge")
+            return empty
         if parsed.has_filters:
             return self._filtered_probe(parsed, cand, scores, k)
         self.last_path = "or_merge"
@@ -2005,11 +2038,13 @@ class Searcher:
           * one-level CNF trees — AND of OR-groups whose members are
             any leaf kind (terms, prefix/fuzzy/wildcard expansions
             via the cached dictionary job, exact and sloppy phrases
-            verified from cached position blobs) — evaluate fully on
-            the driver (_search_cnf / _group_union / _eval_phrase),
-            filtered or not;
-          * NOT and deeper mixed nesting keep the batch path's full
-            mask algebra, as do filter-only queries and queries whose
+            verified from cached position blobs), with NEGATED
+            conjuncts (`a AND NOT b`) as anti-membership passes —
+            evaluate fully on the driver (_search_cnf / _group_union
+            / _eval_phrase), filtered or not;
+          * pure-negative trees, NOT under OR (empty-mask accepting),
+            and deeper mixed nesting keep the batch path's full mask
+            algebra, as do filter-only queries and queries whose
             postings blow max_driver_postings."""
         from sparkbm25.querystring import parse_query_string
 
@@ -2028,14 +2063,16 @@ class Searcher:
             # every shape short of NOT and deeper nesting
             cnf = _flatten_cnf(parsed.tree)
             if cnf is not None:
-                if len(cnf) == 1 and all(lv[0] != "phrase"
-                                         for lv in cnf[0]):
+                pos_groups, neg_groups = cnf
+                if (len(pos_groups) == 1 and not neg_groups
+                        and all(lv[0] != "phrase" for lv in pos_groups[0])):
                     # plain OR-of-expandable-leaves: the theta-pruned
                     # MaxScore/WAND algorithms are faster than the
                     # full-union CNF evaluator
-                    flat = (self._expand_to_weights(cnf[0]), "or")
+                    flat = (self._expand_to_weights(pos_groups[0]), "or")
                 else:
-                    out = self._search_cnf(parsed, cnf, k)
+                    out = self._search_cnf(parsed, pos_groups,
+                                           neg_groups, k)
                     if out is None:
                         return self._via_batch(query_text, k, mode)
                     return out

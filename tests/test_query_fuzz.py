@@ -300,11 +300,16 @@ def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
         lambda: f'"{w()} {w()}"',
         lambda: f'"{w()} {w()}"~2 OR {w()}',
         lambda: f'role:{rng.choice(roles)} "{w()} {w()}"~1',
-        # round-5 CNF driver path: AND of OR-groups of any leaf kind
+        # round-5 CNF driver path: AND of OR-groups of any leaf kind,
+        # with negated conjuncts
         lambda: f"({w()} OR {w()}) AND ({w()} OR {wl()[:4]}*)",
         lambda: f"{w()} AND {wl()}~1",
         lambda: f'({w()} OR {w()}) AND "{w()} {w()}"~2',
         lambda: f"role:{rng.choice(roles)} ({w()} OR {w()}) AND {w()}",
+        lambda: f"{w()} AND NOT {w()}",
+        lambda: f"({w()} OR {w()}) AND NOT ({w()} OR {wl()[:4]}*)",
+        lambda: f"role:{rng.choice(roles)} {w()} -{w()}",
+        lambda: f'{w()} AND NOT "{w()} {w()}"',
     ]
     s = Searcher(spark, d)
     texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(18)]
