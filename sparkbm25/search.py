@@ -302,6 +302,76 @@ def _distinct_assignment(wins: list[np.ndarray], tidxs) -> bool:
     return bt(0)
 
 
+def _verify_phrase_sets(slot_csr: list, tidxs: np.ndarray,
+                        slop: int, repeated: bool) -> np.ndarray:
+    """Vectorized phrase verification over n candidate docs at once.
+
+    slot_csr[s] = (flat, offs): CSR of phrase slot s's ADJUSTED
+    positions (raw - tidxs[s]) across the SAME n docs in the SAME doc
+    order — flat holds doc i's values in offs[i]:offs[i+1], ascending
+    within each doc. Returns a bool keep-mask of length n.
+
+    The per-doc loops this replaces (np.intersect1d / _sloppy_exists
+    per candidate) cost ~20-30µs of numpy-call overhead per doc — at
+    a stopword phrase's ~10^5-survivor intersection that was seconds
+    of driver (and minutes of applyInPandas-per-group) time. Here
+    every doc's values fold into ONE sorted int64 key stream per slot
+    (doc_row * BIG + adjusted + OFF with BIG wide enough that windows
+    of ±slop can never cross a row boundary), so:
+      * exact (slop 0): iterative sorted-stream intersection via
+        searchsorted — identical semantics to per-doc intersect1d,
+        including repeated-term phrases (distinct raw tokens are
+        implied by distinct adjusted values at slop 0);
+      * slop>0, two DISTINCT terms (the dominant sloppy shape): a doc
+        matches iff some |a0 - a1| <= slop — two searchsorted calls
+        bound each slot-0 key's window in slot 1's stream; raw
+        distinctness is free (different terms never share a token
+        position);
+      * anything else (slop>0 with m>2 or a repeated term): the
+        documented _sloppy_exists scan per doc, unchanged — these
+        shapes are rare and their semantics (span approximation,
+        distinct-assignment backtracking) stay in one place.
+    """
+    n = slot_csr[0][1].size - 1
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    m = len(slot_csr)
+    mask = np.zeros(n, dtype=bool)
+    if slop == 0 or (m == 2 and not repeated):
+        maxv = 0
+        for flat, _ in slot_csr:
+            if flat.size:
+                maxv = max(maxv, int(flat.max()))
+        off = m  # adjusted values reach down to -(m-1)
+        big = maxv + off + slop + 2
+        keys = []
+        for flat, offs in slot_csr:
+            if flat.size == 0:
+                return mask
+            rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+            keys.append(rows * big + (flat + off))
+        if slop == 0:
+            cur = keys[0]
+            for s in range(1, m):
+                ks = keys[s]
+                pos = np.searchsorted(ks, cur)
+                np.minimum(pos, ks.size - 1, out=pos)
+                cur = cur[ks[pos] == cur]
+                if cur.size == 0:
+                    return mask
+            mask[cur // big] = True
+            return mask
+        k0, k1 = keys
+        lo = np.searchsorted(k1, k0 - slop, side="left")
+        hi = np.searchsorted(k1, k0 + slop, side="right")
+        mask[k0[hi > lo] // big] = True
+        return mask
+    for i in range(n):
+        lists = [flat[offs[i]:offs[i + 1]] for flat, offs in slot_csr]
+        mask[i] = _sloppy_exists(lists, tidxs, slop)
+    return mask
+
+
 def _expand_terms_source(spark: SparkSession, index_dir: str) -> DataFrame:
     """One-row-per-term source for multi-term expansion: the terms
     dictionary when every generation built one (build_terms_dict=True,
@@ -718,38 +788,78 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
             F.broadcast(survivors), ["query_id", "doc_ord", "slot"],
             "left_semi")
 
-        def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            # applyInPandas delivers the WHOLE (query_id, doc_ord, slot)
-            # group — round-2 grouped within Arrow batches, silently
+        def verify_leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+            # applyInPandas delivers ONE phrase leaf's WHOLE survivor
+            # set (round-2 grouped within Arrow batches, silently
             # dropping matches whose rows straddled a 10k-row batch
-            # boundary (ADVICE r2 high)
-            g = pdf.sort_values("tidx")
-            slop = int(g["slop"].iloc[0])
+            # boundary — ADVICE r2 high; round-5 regrouped from
+            # per-(query,doc,slot) to per-(query,slot): a stopword
+            # phrase's ~10^5 surviving docs cost ~1ms of Python each
+            # as separate groups ≈ minutes — one group + the
+            # vectorized _verify_phrase_sets kernel is ~10^5× fewer
+            # interpreter crossings. Group memory is bounded by the
+            # rarest member term's df (the intersection), the same
+            # bound the survivors broadcast above already accepts.
             no_match = pd.DataFrame({
                 "query_id": pd.Series(dtype="int32"),
                 "doc_ord": pd.Series(dtype="int64"),
                 "slot": pd.Series(dtype="int32"),
                 "score": pd.Series(dtype="float64")})
-            if slop == 0:
-                base = None
-                for tidx, positions in zip(g["tidx"], g["positions"]):
-                    arr = np.asarray(positions, dtype=np.int64) - int(tidx)
-                    base = arr if base is None else np.intersect1d(base, arr)
-                    if base.size == 0:
-                        return no_match
-            else:
-                lists = [np.asarray(p, dtype=np.int64) - int(t)
-                         for t, p in zip(g["tidx"], g["positions"])]
-                if not _sloppy_exists(lists, g["tidx"].to_numpy(), slop):
-                    return no_match
+            if len(pdf) == 0:
+                return no_match
+            slop = int(pdf["slop"].iloc[0])
+            tidx = pdf["tidx"].to_numpy()
+            uniq_t = np.unique(tidx)
+            m = uniq_t.size
+            # survivors guarantee every doc carries all m tidx rows
+            # exactly once, so lexsort (tidx major, doc minor) yields
+            # m equal slices over an identical doc order
+            order = np.lexsort((pdf["doc_ord"].to_numpy(), tidx))
+            doc_sorted = pdf["doc_ord"].to_numpy()[order]
+            n = len(pdf) // m
+            docs = doc_sorted[:n]
+            if len(pdf) != n * m or not np.array_equal(
+                    doc_sorted.reshape(m, n)[1:],
+                    np.broadcast_to(docs, (m - 1, n))):
+                # one row per (doc, tidx) is the survivor-join
+                # invariant; loud failure beats silent misalignment
+                raise AssertionError(
+                    "phrase survivor rows are not one-per-(doc,tidx)")
+            pos_sorted = pdf["positions"].to_numpy()[order]
+            slot_csr = []
+            for s in range(m):
+                chunk = pos_sorted[s * n:(s + 1) * n]
+                lens = np.fromiter((len(p) for p in chunk),
+                                   dtype=np.int64, count=n)
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                flat = (np.concatenate(chunk).astype(np.int64)
+                        if offs[-1] else np.empty(0, dtype=np.int64))
+                slot_csr.append((flat - int(uniq_t[s]), offs))
+            repeated = False  # distinct tidx by construction; the
+            # repeated-TERM case is what matters for the sloppy
+            # kernel: two slots of the same term share raw positions
+            if slop > 0 and m == 2:
+                a, b_ = slot_csr[0][0], slot_csr[1][0]
+                # same term in both slots ⇔ identical raw streams
+                repeated = (a.size == b_.size
+                            and bool(np.array_equal(
+                                a + int(uniq_t[0]), b_ + int(uniq_t[1]))))
+            keep = _verify_phrase_sets(slot_csr, uniq_t, slop, repeated)
+            if not keep.any():
+                return no_match
+            score = pdf["score"].to_numpy()[order].reshape(m, n).sum(axis=0)
             return pd.DataFrame({
-                "query_id": [int(g["query_id"].iloc[0])],
-                "doc_ord": [int(g["doc_ord"].iloc[0])],
-                "slot": [int(g["slot"].iloc[0])],
-                "score": [float(g["score"].sum())]})
+                "query_id": np.full(int(keep.sum()),
+                                    int(pdf["query_id"].iloc[0]),
+                                    dtype="int32"),
+                "doc_ord": docs[keep],
+                "slot": np.full(int(keep.sum()),
+                                int(pdf["slot"].iloc[0]), dtype="int32"),
+                "score": score[keep]})
 
-        verified = pruned.groupBy("query_id", "doc_ord", "slot").applyInPandas(
-            verify_group,
+        verified = pruned.groupBy("query_id", "slot").applyInPandas(
+            verify_leaf,
             schema="query_id int, doc_ord bigint, slot int, score double")
         leaf_rows = term_rows.unionByName(verified)
     else:
@@ -1085,7 +1195,7 @@ class _TermPostings:
 
     __slots__ = ("firsts", "max_impacts", "firsts_np", "max_np",
                  "starts", "all_docs", "all_tfs", "all_dls", "total", "n",
-                 "pos_blobs", "pos_bytes")
+                 "pos_blobs", "pos_bytes", "pos_flat", "pos_occ")
 
     def __init__(self, blocks: list):
         blocks = sorted(blocks, key=lambda blk: blk["first_doc"] if isinstance(blk, dict) else blk.first_doc)
@@ -1094,11 +1204,15 @@ class _TermPostings:
         # raw positions blobs (varint, ~1-2 B/occurrence) kept per
         # block when the index stores positions: the interactive
         # phrase path decodes ONLY the blocks its candidate docs live
-        # in (positions_of). Kept compressed — decoded positions would
+        # in lazily (decode_positions_full). Kept compressed until a
+        # phrase query touches the term — decoded positions would
         # several-fold the cache footprint for queries that never
-        # verify a phrase.
+        # verify a phrase (once decoded they persist and are charged
+        # to the Searcher's budget via _charge_positions).
         self.pos_blobs = None
         self.pos_bytes = 0
+        self.pos_flat = None
+        self.pos_occ = None
         if blocks:
             try:
                 first_pos = get(blocks[0], "pos")
@@ -1142,27 +1256,51 @@ class _TermPostings:
         else:
             self.all_docs = np.empty(0, dtype=np.int64)
 
-    def positions_of(self, idx: np.ndarray) -> list[np.ndarray]:
-        """Absolute token positions of the postings at flat indices
-        `idx`, decoding only the blocks those postings live in (each
-        needed block's varint pos stream decodes once per call).
-        Requires pos blobs (index built with store_positions)."""
-        from sparkbm25.codec import decode_block_positions
+    def decode_positions_full(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the term's ENTIRE positions stream once and cache it
+        on the object: (flat absolute positions int64, occ_offsets
+        int64 len total+1 — posting i owns flat[occ[i]:occ[i+1]]).
 
-        out: list[np.ndarray | None] = [None] * len(idx)
-        bi = np.searchsorted(self.starts, idx, side="right") - 1
-        cache: dict[int, tuple] = {}
-        for j, (g, b) in enumerate(zip(idx.tolist(), bi.tolist())):
-            got = cache.get(b)
-            if got is None:
-                tfs_blk = self.all_tfs[self.starts[b]:self.starts[b + 1]]
-                got = decode_block_positions(
-                    {"pos": self.pos_blobs[b]}, tfs_blk)
-                cache[b] = got
-            flat, occ = got
-            local = g - int(self.starts[b])
-            out[j] = flat[occ[local]:occ[local + 1]]
-        return out
+        Per-block pos blobs concatenate into one valid varint stream
+        (varints are self-delimiting and every blob starts at a
+        posting boundary, whose first value is absolute), so this is
+        ONE vectorized decode pass — the same shape as the eager
+        gaps/tfs/dls decode in __init__, and ~50× cheaper than the
+        per-block positions_of loop it replaced at stopword-phrase
+        candidate counts. The decoded arrays stay on the object so a
+        warm phrase query touches no varints at all; the Searcher
+        charges the growth against its posting-cache budget
+        (_charge_positions)."""
+        if self.pos_flat is None:
+            from sparkbm25.codec import varint_decode
+
+            tfs = self.all_tfs.astype(np.int64)
+            occ = np.zeros(self.total + 1, dtype=np.int64)
+            np.cumsum(tfs, out=occ[1:])
+            deltas = varint_decode(b"".join(self.pos_blobs)).astype(np.int64)
+            if deltas.size:
+                cs = np.cumsum(deltas)
+                starts = occ[:-1]
+                base = (cs[starts] - deltas[starts]).astype(np.int64)
+                self.pos_flat = cs - np.repeat(base, tfs)
+            else:
+                self.pos_flat = deltas
+            self.pos_occ = occ
+        return self.pos_flat, self.pos_occ
+
+    def positions_csr(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Absolute token positions of the postings at flat indices
+        `idx`, as a CSR pair (flat, offs len(idx)+1): posting idx[j]'s
+        positions are flat[offs[j]:offs[j+1]]. One vectorized gather
+        from the cached full decode — no per-posting Python."""
+        flat_all, occ_all = self.decode_positions_full()
+        lens = self.all_tfs[idx].astype(np.int64)
+        offs = np.zeros(idx.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        total = int(offs[-1])
+        gather = (np.repeat(occ_all[idx] - offs[:-1], lens)
+                  + np.arange(total, dtype=np.int64))
+        return flat_all[gather], offs
 
 
 class _Cursor:
@@ -1485,6 +1623,30 @@ class Searcher:
         cached_dfs.update(dfs)
         return cached, cached_dfs
 
+    def _charge_positions(self, term: str, tp: "_TermPostings") -> None:
+        """Account a term's freshly-decoded positions arrays
+        (decode_positions_full) against the posting-cache budget: the
+        decoded int64 flat/occ arrays live as long as the cached
+        _TermPostings does, so the entry's cost grows by their size in
+        posting-equivalents (~24 B each) and older entries evict to
+        stay under budget. The charged term itself is never evicted
+        here — it is the query in flight."""
+        entry = self._post_cache.get(term)
+        if entry is None or tp.pos_flat is None:
+            return
+        extra = (tp.pos_flat.nbytes + tp.pos_occ.nbytes) // 24
+        self._post_cache[term] = (entry[0], entry[1], entry[2] + extra)
+        self._post_cache_postings += extra
+        while (self._post_cache_postings > self.cache_postings_budget
+               and len(self._post_cache) > 1):
+            old_t = next(iter(self._post_cache))
+            if old_t == term:
+                # move-to-end so the loop can reach older entries
+                self._post_cache[term] = self._post_cache.pop(term)
+                continue
+            old = self._post_cache.pop(old_t)
+            self._post_cache_postings -= old[2]
+
     def _fetch_postings_scan(self, terms: list[str]) -> tuple[dict[str, list], dict[str, int]]:
         """The actual pruned fetch job (cache-miss path)."""
         # block-max metadata was encoded with each generation's avgdl;
@@ -1801,10 +1963,11 @@ class Searcher:
         the intersection docs live in, verify adjacency (slop 0) or
         the documented sloppy span (_sloppy_exists), and score
         survivors as boost × Σ member-term BM25 contributions — the
-        exact contract of the batch path's verify_group. Candidate
-        count is bounded by the rarest member's df; the per-doc verify
-        loop is the same work the batch path does inside
-        applyInPandas, minus the job."""
+        exact contract of the batch path's verify_leaf. Candidate
+        count is bounded by the rarest member's df; verification is
+        the vectorized _verify_phrase_sets kernel over all candidates
+        at once (the batch path runs the same kernel inside
+        applyInPandas)."""
         zero = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if not terms or any(t not in dfs for t in terms):
             return zero
@@ -1818,25 +1981,18 @@ class Searcher:
             cand = cand[tp.all_docs[idx_c] == cand]
             if cand.size == 0:
                 return zero
-        slot_pos = []
-        for tp in tps:
-            idx = np.searchsorted(tp.all_docs, cand, side="left")
-            slot_pos.append(tp.positions_of(idx))
-        tidxs = np.arange(len(terms))
-        keep = np.zeros(cand.size, dtype=bool)
         m = len(terms)
-        for i in range(cand.size):
-            lists = [np.asarray(slot_pos[s][i], dtype=np.int64) - s
-                     for s in range(m)]
-            if slop == 0:
-                base = lists[0]
-                for arr in lists[1:]:
-                    base = np.intersect1d(base, arr)
-                    if base.size == 0:
-                        break
-                keep[i] = base.size > 0
-            else:
-                keep[i] = _sloppy_exists(lists, tidxs, slop)
+        slot_csr = []
+        for s, (t, tp) in enumerate(zip(terms, tps)):
+            fresh = tp.pos_flat is None
+            idx = np.searchsorted(tp.all_docs, cand, side="left")
+            flat, offs = tp.positions_csr(idx)
+            if fresh:
+                self._charge_positions(t, tp)
+            slot_csr.append((flat - s, offs))
+        repeated = len(set(terms)) < m
+        keep = _verify_phrase_sets(slot_csr, np.arange(m), int(slop),
+                                   repeated)
         cand = cand[keep]
         if cand.size == 0:
             return zero
