@@ -1451,6 +1451,14 @@ class Searcher:
         self.exp_cache_budget = 100_000
         self._exp_cache: dict[str, list[str]] = {}
         self._exp_cache_terms = 0
+        # exhaustive-dense OR floor: below this many summed postings
+        # MaxScore's pruning (or just its tiny input) is already
+        # sub-millisecond and the dense scatter's O(n_docs) allocation
+        # isn't worth dispatching; above it, hot multi-cursor unions
+        # (expanded leaves, stopword ORs) score faster exhaustively
+        # (see the dense branch in search()). Exposed as an attribute
+        # so parity tests can force the path on small fixtures.
+        self.dense_min_postings = 1 << 17
         self.last_path: str | None = None
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(index_dir)
         # per-generation segment DataFrames created ONCE: repeated
@@ -2301,10 +2309,47 @@ class Searcher:
         elif self.or_algo == "wand":
             self.last_path = "wand"
             results = self._wand_or(cursors, k, k1, b, avgdl)
+        elif (len(cursors) >= 2
+              and sum(c.total for c in cursors)
+              >= max(self.n_docs, self.dense_min_postings)
+              and self.n_docs <= max(
+                  8 * sum(c.total for c in cursors), 1 << 20)
+              and all(c.weight > 0 for c in cursors)):
+            # exhaustive-dense regime (expanded prefix/fuzzy/wildcard
+            # leaves, stopword ORs): many similar-weight hot cursors
+            # keep MaxScore's essential set near-total, so it pays
+            # per-chunk searchsorted alignment for every cursor while
+            # pruning almost nothing. When the summed dfs reach the
+            # corpus size, ONE bincount scatter per the _score_all
+            # dense path scores every posting in O(P + N) with no
+            # candidate alignment at all — measured 0.39 s -> ~0.1 s
+            # warm for a 10-hot-term prefix expansion at 960k docs.
+            # Gated on the same dense-feasibility bound as _score_all
+            # (n_docs within 8x the postings volume), so a web-scale
+            # doc count with a driver-bounded postings set still takes
+            # the MaxScore path.
+            self.last_path = "dense"
+            results = self._dense_topk(cursors, k, k1, b, avgdl)
         else:
             self.last_path = "maxscore"
             results = self._maxscore_or(cursors, k, k1, b, avgdl)
         return self._format_results(results)
+
+    def _dense_topk(self, cursors: list[_Cursor], k: int, k1: float,
+                    b: float, avgdl: float) -> list:
+        """Exhaustive scoring (_score_all's dense OR path) + exact
+        top-k. Tie handling matches the pruned algorithms bit-exactly:
+        per-doc sums accumulate in cursor order (bincount consumes the
+        cursor-order concatenation sequentially) and the final cut is
+        score desc, doc asc."""
+        cand, scores = self._score_all(cursors, "or", k1, b, avgdl)
+        if scores.size > k:
+            thr = np.partition(scores, scores.size - k)[scores.size - k]
+            m = scores >= thr
+            cand, scores = cand[m], scores[m]
+        order = np.lexsort((cand, -scores))[:k]
+        return [(float(s), int(d))
+                for s, d in zip(scores[order], cand[order])]
 
     @staticmethod
     def _wand_or(cursors: list[_Cursor], k: int, k1: float, b: float, avgdl: float):

@@ -183,6 +183,32 @@ def test_searcher_routes_hot_terms_to_batch(spark, built):
     np.testing.assert_allclose(out["score"], out3["score"], rtol=1e-9)
 
 
+def test_dense_or_path_matches_pruned(spark, built):
+    """The exhaustive-dense OR regime (summed dfs >= corpus size)
+    must answer bit-identically to MaxScore and WAND, and must stay
+    OFF below its postings floor (small corpora never benefit)."""
+    t, d, _ = built
+    toks = t["text"].iloc[0].lower().split()
+    # two distinct near-universal words -> summed dfs >= n_docs
+    c1, c2 = toks[0], toks[1]
+    assert c1 != c2
+    q = f"{c1} {c2}"
+    s_ref = Searcher(spark, d)
+    ref = s_ref.search(q, k=10)
+    assert s_ref.last_path == "maxscore"  # default floor keeps dense off
+    s_dense = Searcher(spark, d)
+    s_dense.dense_min_postings = 0
+    out = s_dense.search(q, k=10)
+    assert s_dense.last_path == "dense"
+    assert out["conv_id"].tolist() == ref["conv_id"].tolist()
+    assert out["turn_idx"].tolist() == ref["turn_idx"].tolist()
+    assert out["score"].tolist() == ref["score"].tolist()  # bit-exact
+    s_wand = Searcher(spark, d, or_algo="wand")
+    ref_w = s_wand.search(q, k=10)
+    assert s_wand.last_path == "wand"
+    assert out["score"].tolist() == ref_w["score"].tolist()
+
+
 def test_postings_cache_skips_fetch(spark, built):
     """Warm terms serve from the bounded LRU posting cache: the second
     identical search must not touch the fetch scan at all, and a

@@ -315,8 +315,8 @@ def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
     texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(18)]
     for qt in texts:
         got = s.search(qt, k=15)
-        assert s.last_path in ("filtered", "maxscore", "and", "or_merge",
-                               None), (qt, s.last_path)
+        assert s.last_path in ("filtered", "maxscore", "dense", "and",
+                               "or_merge", None), (qt, s.last_path)
         q = pd.DataFrame({"query_id": [0], "query_text": [qt], "k": [15]})
         exp = (search_batch(spark, d, q, k=15).toPandas()
                .sort_values("rank").reset_index(drop=True))

@@ -16,6 +16,17 @@ from sparkbm25.search import Searcher, _Cursor
 K1, B = 1.2, 0.75
 
 
+class _DenseStub:
+    """Minimal Searcher stand-in: _dense_topk touches only
+    self.n_docs (through _score_all's dense-feasibility gate), so the
+    exhaustive-dense driver path is property-testable without Spark."""
+    _score_all = Searcher._score_all
+    _dense_topk = Searcher._dense_topk
+
+    def __init__(self, n_docs):
+        self.n_docs = n_docs
+
+
 def _make_cursors(rng, n_docs, n_terms, tie_heavy):
     """Random posting lists packed through the real codec (so block
     structure, max_impact, and the decode path are all exercised)."""
@@ -74,8 +85,11 @@ def test_maxscore_and_wand_match_brute(seed, tie_heavy):
         chunk=int(rng.choice([3, 17, 65536])))
     got_w = Searcher._wand_or(
         [_Cursor(bl, w) for bl, w in lists], k, K1, B, avgdl)
+    got_d = _DenseStub(n_docs)._dense_topk(
+        [_Cursor(bl, w) for bl, w in lists], k, K1, B, avgdl)
 
-    for name, got in (("maxscore", got_ms), ("wand", got_w)):
+    for name, got in (("maxscore", got_ms), ("wand", got_w),
+                      ("dense", got_d)):
         assert [d for _, d in got] == [d for _, d in exp], (
             name, seed, tie_heavy, n_docs, n_terms, k)
         np.testing.assert_allclose(
