@@ -327,17 +327,24 @@ def _verify_phrase_sets(slot_csr: list, tidxs: np.ndarray,
         bound each slot-0 key's window in slot 1's stream; raw
         distinctness is free (different terms never share a token
         position);
-      * anything else (slop>0 with m>2 or a repeated term): the
-        documented _sloppy_exists scan per doc, unchanged — these
-        shapes are rare and their semantics (span approximation,
-        distinct-assignment backtracking) stay in one place.
+      * slop>0, m>2 DISTINCT terms: a matching window's lower edge is
+        always one of the adjusted values (the same anchoring
+        argument _sloppy_exists documents), so every key is tested as
+        a lower edge with one searchsorted per slot over all
+        candidates at once — the span-approximation semantics,
+        vectorized; raw distinctness is again free for distinct
+        terms;
+      * repeated-term sloppy phrases only: the documented
+        _sloppy_exists scan per doc, unchanged — the
+        distinct-assignment backtracking has no vector form and the
+        shape is rare.
     """
     n = slot_csr[0][1].size - 1
     if n == 0:
         return np.zeros(0, dtype=bool)
     m = len(slot_csr)
     mask = np.zeros(n, dtype=bool)
-    if slop == 0 or (m == 2 and not repeated):
+    if slop == 0 or not repeated:
         maxv = 0
         for flat, _ in slot_csr:
             if flat.size:
@@ -361,10 +368,23 @@ def _verify_phrase_sets(slot_csr: list, tidxs: np.ndarray,
                     return mask
             mask[cur // big] = True
             return mask
-        k0, k1 = keys
-        lo = np.searchsorted(k1, k0 - slop, side="left")
-        hi = np.searchsorted(k1, k0 + slop, side="right")
-        mask[k0[hi > lo] // big] = True
+        if m == 2:
+            k0, k1 = keys
+            lo = np.searchsorted(k1, k0 - slop, side="left")
+            hi = np.searchsorted(k1, k0 + slop, side="right")
+            mask[k0[hi > lo] // big] = True
+            return mask
+        cand = np.concatenate(keys)
+        ok = np.ones(cand.size, dtype=bool)
+        for ks in keys:
+            pos = np.searchsorted(ks, cand, side="left")
+            np.minimum(pos, ks.size - 1, out=pos)
+            v = ks[pos]
+            # pos clamped past the end shows up as v < cand -> fails.
+            # big > maxv + off + slop + 1 keeps cand + slop inside the
+            # candidate's own row band, so a hit can't leak across docs
+            ok &= (v >= cand) & (v <= cand + slop)
+        mask[cand[ok] // big] = True
         return mask
     for i in range(n):
         lists = [flat[offs[i]:offs[i + 1]] for flat, offs in slot_csr]

@@ -46,6 +46,21 @@ def test_kernel_matches_per_doc_reference(seed):
     m = int(rng.integers(1, 5))
     repeated = bool(rng.integers(0, 2)) and m >= 2
     slop = int(rng.choice([0, 0, 1, 2, 5]))
+    _run_case(rng, m, repeated, slop)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_kernel_matches_reference_long_sloppy(seed):
+    """Concentrated coverage of the vectorized m>2 distinct-term
+    sloppy branch (anchored-window searchsorted over all candidate
+    edges), which the uniform sampler above hits only occasionally."""
+    rng = np.random.default_rng(10_000 + seed)
+    m = int(rng.integers(3, 6))
+    slop = int(rng.choice([1, 2, 3, 5, 9]))
+    _run_case(rng, m, False, slop)
+
+
+def _run_case(rng, m, repeated, slop):
     n = int(rng.integers(1, 60))
     # simulate tokenized docs: term occurrences at small positions so
     # adjusted values go negative and windows brush doc boundaries.
@@ -74,7 +89,7 @@ def test_kernel_matches_per_doc_reference(seed):
     got = _verify_phrase_sets([_to_csr(sl) for sl in slot_lists],
                               tidxs, slop, repeated)
     np.testing.assert_array_equal(got, ref, err_msg=(
-        f"seed={seed} m={m} slop={slop} repeated={repeated}"))
+        f"m={m} slop={slop} repeated={repeated}"))
 
 
 def test_kernel_empty_and_singleton():
