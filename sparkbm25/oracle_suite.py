@@ -545,6 +545,73 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+SLOP3_PHRASE = ("slow", "hash", "batch")  # a frequent fixture trigram
+SLOP3_N = 3
+
+
+def q_bm25_phrase3_slop(spark, sf_dir):
+    """Three-term sloppy phrase '"slow hash batch"~3' — the m>2 span
+    semantics (max adjusted - min adjusted <= slop, adjusted = pos -
+    slot; the documented span approximation of Lucene's m>2 matcher,
+    vectorized in search._verify_phrase_sets). Distinct terms make
+    raw-position distinctness automatic, so the SQL oracle can state
+    the span window directly with a 3-way positional self-join."""
+    return _bm25_query_df(
+        spark, sf_dir,
+        f'"{SLOP3_PHRASE[0]} {SLOP3_PHRASE[1]} {SLOP3_PHRASE[2]}"'
+        f'~{SLOP3_N}')
+
+
+SQL_BM25_PHRASE3_SLOP = f"""
+WITH {TOKS_CTE},
+ltoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+tp AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+       FROM ltoks),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM tp a
+  JOIN tp b ON b.doc_id = a.doc_id
+  JOIN tp c ON c.doc_id = a.doc_id
+  WHERE a.term = '{SLOP3_PHRASE[0]}' AND b.term = '{SLOP3_PHRASE[1]}'
+    AND c.term = '{SLOP3_PHRASE[2]}'
+    AND greatest(a.pos, b.pos - 1, c.pos - 2)
+        - least(a.pos, b.pos - 1, c.pos - 2) <= {SLOP3_N}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE term IN ('{SLOP3_PHRASE[0]}','{SLOP3_PHRASE[1]}','{SLOP3_PHRASE[2]}')
+       GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_bm25_wand(spark, sf_dir):
     """The interactive Block-Max-WAND driver path, checked against the
     SAME SQL oracle as the batch path — WAND pruning must be lossless."""
@@ -2187,6 +2254,7 @@ QUERIES = {
     "bm25_or_not_all": (q_bm25_or_not_all, SQL_BM25_OR_NOT_ALL),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_phrase_slop": (q_bm25_phrase_slop, SQL_BM25_PHRASE_SLOP),
+    "bm25_phrase3_slop": (q_bm25_phrase3_slop, SQL_BM25_PHRASE3_SLOP),
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filtered_driver": (q_bm25_filtered_driver, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
@@ -2250,6 +2318,9 @@ EXCLUDED_FROM_DRIVER = (
     "embedding_norms",           # trivial; every ANN entry covers it
     "orders_topk_per_customer",  # generic window top-k (O3 via bm25)
     "nation_revenue",            # generic join-agg (covered broadly)
+    "bm25_phrase3_slop",         # m>2 span kernel; 2-term slop entry
+                                 # is driver-checked, this one by the
+                                 # local replica + kernel property suite
 )
 DRIVER_QUERIES = {k: v for k, v in QUERIES.items()
                   if k not in EXCLUDED_FROM_DRIVER}
