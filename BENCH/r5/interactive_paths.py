@@ -65,6 +65,7 @@ def main():
         "wildcard": "w00?1",
         "phrase": '"w0001 w0002"',
         "phrase_slop": '"w0002 w0001"~2',
+        "phrase3_slop": '"w0000 w0001 w0002"~4',
         "phrase_or_term": '"w0001 w0002" OR w0005',
         "filtered_phrase": 'role:user "w0001 w0002"~2',
         "cnf": "(w0001 OR w0002) AND (w0005 OR w000*)",

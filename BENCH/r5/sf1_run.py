@@ -44,8 +44,11 @@ def _child_java_hwm_kb() -> int:
             continue
         try:
             with open(f"/proc/{d}/stat") as f:
-                parts = f.read().split()
-            if int(parts[3]) != me:
+                raw = f.read()
+            # comm (field 2) may contain spaces — split AFTER the
+            # closing paren; ppid is then the second field
+            after = raw[raw.rfind(")") + 1:].split()
+            if len(after) < 2 or int(after[1]) != me:
                 continue
             with open(f"/proc/{d}/comm") as f:
                 if "java" not in f.read():
