@@ -12,6 +12,28 @@ reference user actually writes:
     field:prefix*          prefix match on a filter field
     field:[A TO B]         inclusive range, `*` = open bound
                            (Lucene range syntax)
+    field:{A TO B}         EXCLUSIVE range (round 5; either bracket may
+                           be curly independently: `[A TO B}` = lo
+                           inclusive, hi exclusive — Lucene mixed
+                           brackets). Round 4 lexed the `{` form into a
+                           garbage equality value
+    field:>V  >=V  <V  <=V simple one-sided range (ES query_string
+                           shorthand, round 5). Round 4 compared the
+                           whole string `>V` for equality (never
+                           matches) or failed the int cast
+    field:(a OR b)         field-grouped predicates (round 5): the
+                           group compiles to an OR of per-value
+                           predicates; allowed as a top-level conjunct.
+                           `text:(a OR b)` scopes FULL-TEXT — the group
+                           parses as a normal boolean text subtree.
+                           Round 4 silently parsed `role:(user tool)`
+                           as the bare TERM `role` AND the group
+    _exists_:field         ES exists query (round 5): field has a
+                           non-NULL value. conv_id/turn_idx/text are
+                           non-null by construction (constant TRUE);
+                           role/tool test IS NOT NULL. Unknown targets
+                           raise. Round 4 raised on the `_exists_`
+                           field name itself
     text:value             field-scoped FULL-TEXT on the indexed text
                            column: `text:spark` == `spark`,
                            `text:spar*` == `spar*`, `text:"a b"` ==
@@ -44,9 +66,29 @@ reference user actually writes:
                            contribution (terms, phrases, prefixes,
                            fuzzies; ignored on filters — they don't
                            score)
-    NOT x      -x          negation           (NOT > AND > OR)
-    a AND b                conjunction
-    a OR b                 disjunction
+    NOT x      -x    !x    negation           (NOT > AND > OR)
+    a AND b    a && b      conjunction (round 5: `&&` — round 4's
+                           analyzer silently DROPPED the `&&` token, so
+                           `a && b` became the implicit sequence `a b`,
+                           i.e. OR in mode='or')
+    a OR b     a || b      disjunction (`||` likewise dropped in r4)
+    +x                     required clause (Lucene `+` operator, round
+                           5): in an IMPLICIT sequence (`+a b`), docs
+                           must match every `+` clause; unmarked
+                           clauses become pure SHOULD scorers (Lucene
+                           BooleanQuery: MUST present ⇒ SHOULD is
+                           optional, but still scores). Compiled as
+                           And(musts + [Or(optionals + [MatchAll])])
+                           where MatchAll = the empty And — the mask
+                           evaluator folds it to TRUE, and optionals
+                           keep scoring as positive leaves. Under an
+                           EXPLICIT `AND` every conjunct is already
+                           required, so `+` is a no-op there; under
+                           `OR` the `+` applies to its own branch
+                           (`+a OR b` ≡ `a OR b`, like Lucene's
+                           per-clause occur flags). Round 4's analyzer
+                           silently stripped `+`, turning a required
+                           clause into a should clause
     "exact phrase"         positional phrase (index must store positions)
     "a b"~N                sloppy phrase (Lucene proximity): terms may
                            sit up to N position-moves from the exact
@@ -93,16 +135,23 @@ NUMERIC_FILTER_FIELDS = {"turn_idx"}   # range/equality bounds cast to int
 TEXT_FIELDS = {"text"}
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 # the range alternative must precede the catch-all: `f:[a TO b]`
-# contains spaces inside the brackets; quoted phrases keep optional
-# ~slop and ^boost suffixes attached (in that order, like Lucene), and
-# a field prefix may precede a quoted phrase (`text:"a b"`)
+# contains spaces inside the brackets (either bracket may be `[]`
+# inclusive or `{}` exclusive — Lucene allows mixing); quoted phrases
+# keep optional ~slop and ^boost suffixes attached (in that order, like
+# Lucene), a field prefix may precede a quoted phrase (`text:"a b"`),
+# and a -/+/! occur prefix may precede the whole quoted leaf
+# (`-"a b"` — round 4 lexed that into an unbalanced-quote error)
 _TOKEN_RE = re.compile(
-    r'(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*"(?:~[0-9]+)?(?:\^[0-9]*\.?[0-9]+)?'
+    r'[-+!]?(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*"'
+    r'(?:~[0-9]+)?(?:\^[0-9]*\.?[0-9]+)?'
     r'|\(|\)'
-    r'|[^\s()"]+:\[[^\]]*\]'
+    r'|[^\s()"]+:[\[{][^\]}]*[\]}]'
     r'|[^\s()]+')
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~([0-9]+))?$')
-_RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
+_RANGE_RE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$",
+                       re.IGNORECASE)
+# ES query_string one-sided range shorthand: field:>V >=V <V <=V
+_SIMPLE_RANGE_RE = re.compile(r"^(>=|<=|>|<)(.+)$")
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +213,39 @@ class Or:
 
 
 Node = Term | Phrase | Prefix | Fuzzy | Wildcard | Filter | Not | And | Or
+
+
+@dataclass
+class _Must:
+    """Parse-time wrapper for a `+`-marked clause (Lucene required
+    occur flag). Never escapes the parser: and_expr() rewrites any
+    sequence containing _Must into And/Or structure (see the module
+    docstring) before returning."""
+    child: "Node"
+
+
+def _is_filterish(n: "Node") -> bool:
+    """A node that the top-level extractor will turn into a filter
+    entry: a Filter, an OR of Filters (field grouping), or the
+    negation of either."""
+    if isinstance(n, Filter):
+        return True
+    if isinstance(n, Not):
+        return _is_filterish(n.child)
+    if isinstance(n, Or):
+        return all(isinstance(c, Filter) or
+                   (isinstance(c, Or) and _is_filterish(c))
+                   for c in n.children) and bool(n.children)
+    return False
+
+
+def _match_all() -> And:
+    """The MatchAll sentinel: an EMPTY And. The mask evaluator
+    (search._compile_queries make_accept/eval_empty) folds it to TRUE
+    and collect_leaves yields nothing for it, which is exactly the
+    Lucene SHOULD-under-MUST shape: no candidate gate, leaves still
+    score. A fresh instance per use (dataclass lists are mutable)."""
+    return And([])
 
 _PREFIX_RE = re.compile(r"^([^\s*]+)\*$")
 _FUZZY_RE = re.compile(r"^([^\s~]+)~([0-2])?$")
@@ -231,38 +313,82 @@ class _Parser:
             raise ValueError(f"unbalanced query at token {self.peek()!r}")
         return node
 
-    def or_expr(self) -> Node:
+    def or_expr(self) -> Node | None:
         parts = [self.and_expr()]
-        while self.peek() is not None and self.peek().upper() == "OR":
+        while self.peek() is not None and self.peek().upper() in ("OR", "||"):
             self.next()
             self.explicit = True
             parts.append(self.and_expr())
+        # a clause that analyzed to nothing (pure punctuation) DROPS —
+        # Lucene removes empty clauses. Round 4 returned a neutral
+        # empty And, which folds to TRUE and silently turned
+        # `a OR ,` into match-all
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
         return parts[0] if len(parts) == 1 else Or(parts)
 
-    def and_expr(self) -> Node:
-        parts = [self.unary()]
+    def and_expr(self) -> Node | None:
+        parts: list[Node | _Must | None] = [self.unary()]
+        explicit_and = False
         while True:
             t = self.peek()
-            if t is None or t == ")" or t.upper() == "OR":
+            if t is None or t == ")" or t.upper() in ("OR", "||"):
                 break
-            if t.upper() == "AND":
+            if t.upper() in ("AND", "&&"):
                 self.next()
                 self.explicit = True
+                explicit_and = True
             parts.append(self.unary())
-        return parts[0] if len(parts) == 1 else And(parts)
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        if not any(isinstance(p, _Must) for p in parts):
+            return parts[0] if len(parts) == 1 else And(parts)
+        # `+` required-clause rewrite (module docstring). An explicit
+        # AND anywhere in the sequence already requires every conjunct
+        # (Lucene: AND outranks the occur flag), so `+` is a no-op.
+        self.explicit = True
+        if explicit_and:
+            flat = [p.child if isinstance(p, _Must) else p for p in parts]
+            return flat[0] if len(flat) == 1 else And(flat)
+        musts = [p.child for p in parts if isinstance(p, _Must)]
+        opts = [p for p in parts if not isinstance(p, _Must)]
+        # structured predicates keep their top-level-conjunct role:
+        # `+apple banana role:user` restricts candidates by the filter
+        # exactly like the un-marked query (the engine's documented
+        # filter semantics — a predicate never becomes a SHOULD clause)
+        filterish = [p for p in opts if _is_filterish(p)]
+        opts = [p for p in opts if not _is_filterish(p)]
+        if not opts:
+            flat = musts + filterish
+            return flat[0] if len(flat) == 1 else And(flat)
+        return And(musts + filterish + [Or(opts + [_match_all()])])
 
-    def unary(self) -> Node:
+    def unary(self) -> Node | _Must | None:
         t = self.peek()
-        if t is not None and (t.upper() == "NOT" or (t.startswith("-") and len(t) > 1)):
+        if t is not None and (
+                t.upper() in ("NOT", "!")
+                or (t[0] in "-!" and len(t) > 1)):
             self.explicit = True
-            if t.upper() == "NOT":
+            if t.upper() in ("NOT", "!"):
                 self.next()
             else:
                 self.toks[self.i] = t[1:]
-            return Not(self.unary())
+            inner = self.unary()
+            if isinstance(inner, _Must):
+                inner = inner.child      # `-+x` ≡ -x (occur flags don't stack)
+            return Not(inner) if inner is not None else None
+        if t is not None and t.startswith("+") and len(t) > 1:
+            self.explicit = True
+            self.toks[self.i] = t[1:]
+            inner = self.unary()
+            if inner is None or isinstance(inner, (_Must, Not)):
+                return inner
+            return _Must(inner)
         return self.atom()
 
-    def atom(self) -> Node:
+    def atom(self) -> Node | None:
         t = self.next()
         if t == "(":
             self.explicit = True
@@ -271,6 +397,27 @@ class _Parser:
                 raise ValueError("unbalanced parenthesis in query")
             self.next()
             return node
+        # `field:` immediately before a group: Lucene field grouping.
+        # `text:(a OR b)` scopes full-text (identity — parse the group
+        # normally); a filter field distributes over the group's
+        # values (`role:(en OR fr)` ≡ `role:en OR role:fr`). Round 4
+        # parsed the dangling `field:` token as the bare TERM `field`.
+        dm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):$", t)
+        if dm:
+            fld = dm.group(1).lower()
+            if self.peek() != "(":
+                raise ValueError(
+                    f"dangling field prefix {t!r}: expected a value or "
+                    "a parenthesized group")
+            self.explicit = True
+            if fld in TEXT_FIELDS:
+                return self.atom()       # consume the group as text
+            if fld in FILTER_FIELDS:
+                return self._filter_group(fld)
+            raise ValueError(
+                f"unknown field {dm.group(1)!r}: filter fields are "
+                f"{sorted(FILTER_FIELDS)}, full-text fields "
+                f"{sorted(TEXT_FIELDS)}")
         # optional trailing ^boost (Lucene clause boost) on any leaf
         boost = 1.0
         bm = _BOOST_RE.match(t)
@@ -284,6 +431,16 @@ class _Parser:
         m = _FIELD_RE.match(t)
         if m and not t.startswith('"'):
             fld = m.group(1).lower()
+            if fld == "_exists_":
+                # ES exists query: `_exists_:tool` — the named field
+                # has a non-NULL value. Validate the target here so a
+                # typo fails at parse time.
+                target = m.group(2).lower()
+                if target not in FILTER_FIELDS | TEXT_FIELDS:
+                    raise ValueError(
+                        f"_exists_ target {m.group(2)!r} is not an "
+                        f"indexed field: {sorted(FILTER_FIELDS | TEXT_FIELDS)}")
+                return Filter("_exists_", target)
             if fld in FILTER_FIELDS:
                 val = m.group(2)
                 if (val.startswith('"') and val.endswith('"')
@@ -339,10 +496,46 @@ class _Parser:
         if len(terms) == 1:
             return Term(terms[0], boost)
         if not terms:
-            return And([])  # punctuation-only token: matches nothing extra
+            # punctuation-only token: the clause DROPS (Lucene removes
+            # empty clauses; round 4 returned an empty And here, which
+            # folds to TRUE — harmless under AND but match-all under OR)
+            return None
         # one written word analyzing to several terms ('foo-bar'):
         # conjunction of its parts (Lucene-ish)
         return And([Term(x, boost) for x in terms])
+
+    def _filter_group(self, fld: str) -> Node:
+        """`role:(en OR fr)` — consume `( v1 [OR] v2 ... )` and return
+        the OR of per-value Filters. Values stay RAW (filter context
+        never analyzes; quoted values unquote). Adjacent values OR
+        (ES field grouping applies the field to each sub-clause; AND
+        of same-field equalities is empty — reject it loudly instead
+        of silently matching nothing)."""
+        self.next()                       # the '('
+        vals: list[str] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise ValueError(
+                    f"unbalanced parenthesis in {fld}:(...) group")
+            if t == ")":
+                self.next()
+                break
+            self.next()
+            if t.upper() in ("OR", "||"):
+                continue
+            if t.upper() in ("AND", "&&", "NOT", "!") or t.startswith("-"):
+                raise ValueError(
+                    f"{fld}:(...) field groups support OR'd values "
+                    f"only, got operator {t!r} (write top-level "
+                    f"conjuncts for AND/NOT of predicates)")
+            if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+                t = t[1:-1]
+            vals.append(t)
+        if not vals:
+            raise ValueError(f"empty {fld}:() field group")
+        nodes: list[Node] = [Filter(fld, v) for v in vals]
+        return nodes[0] if len(nodes) == 1 else Or(nodes)
 
 
 def _analyze(text: str, token_pattern: str = DEFAULT_TOKEN_PATTERN) -> list[str]:
@@ -353,20 +546,58 @@ def _analyze(text: str, token_pattern: str = DEFAULT_TOKEN_PATTERN) -> list[str]
     return re.findall(token_pattern, (text or "").lower())
 
 
+def _or_filter_group(n: Node) -> tuple | None:
+    """An Or whose children are ALL Filters → the group as a tuple of
+    (fld, val) pairs (the disjunctive-predicate filter entry shape);
+    None otherwise. Nested Ors flatten by associativity."""
+    if not isinstance(n, Or):
+        return None
+    pairs: list[tuple[str, str]] = []
+    stack = list(n.children)
+    while stack:
+        c = stack.pop(0)
+        if isinstance(c, Or):
+            stack = list(c.children) + stack
+        elif isinstance(c, Filter):
+            pairs.append((c.fld, c.value))
+        else:
+            return None
+    return tuple(pairs) if pairs else None
+
+
 def _extract_top_filters(node: Node | None):
     """Split top-level AND conjuncts into (filters, neg_filters,
-    remaining text tree). Filters nested under OR or inside groups are
-    rejected (the reference's documented queries only use top-level
-    conjunct predicates)."""
-    filters: list[tuple[str, str]] = []
-    neg: list[tuple[str, str]] = []
+    remaining text tree). A conjunct may be a single predicate, an OR
+    of predicates (`(role:user OR role:tool)` / `role:(user OR tool)`
+    field grouping — stored as a GROUP entry: a tuple of (fld, val)
+    pairs), or the negation of either. Filters nested under scoring
+    trees (mixed with text leaves under OR, or under non-top-level
+    NOT groups) are rejected (the reference's documented queries only
+    use top-level conjunct predicates). Nested ANDs flatten by
+    associativity (`x AND (role:a AND tool:b)`)."""
+    filters: list = []
+    neg: list = []
     rest: list[Node] = []
-    conjuncts = node.children if isinstance(node, And) else [node] if node else []
+    conjuncts: list[Node] = []
+    stack = (list(node.children) if isinstance(node, And)
+             else [node] if node else [])
+    while stack:
+        c = stack.pop(0)
+        if isinstance(c, And) and c.children:
+            stack = list(c.children) + stack
+        else:
+            conjuncts.append(c)
     for c in conjuncts:
+        grp = _or_filter_group(c)
         if isinstance(c, Filter):
             filters.append((c.fld, c.value))
+        elif grp is not None:
+            filters.append(grp)
         elif isinstance(c, Not) and isinstance(c.child, Filter):
             neg.append((c.child.fld, c.child.value))
+        elif isinstance(c, Not) and _or_filter_group(c.child) is not None:
+            # NOT (f1 OR f2): keep only docs where NO member matches
+            neg.append(_or_filter_group(c.child))
         else:
             _reject_nested_filters(c)
             rest.append(c)
@@ -428,11 +659,22 @@ def parse_query_string(q: str,
     )
 
 
+# fields that are non-NULL by construction: conv_id/turn_idx key every
+# indexed doc, text is what got indexed. `_exists_` on them is a
+# constant TRUE; role/tool are genuinely nullable forward columns.
+ALWAYS_PRESENT_FIELDS = {"conv_id", "turn_idx", "text"}
+
+
 def _one_predicate(fld: str, val: str) -> Column:
-    """One structured predicate: equality, prefix (`val*`), or Lucene
-    inclusive range `[lo TO hi]` with `*` as an open bound
-    (docs/Lucene range syntax; numeric fields compare as ints, not
-    lexicographically)."""
+    """One structured predicate: equality, prefix (`val*`), Lucene
+    range `[lo TO hi]` / `{lo TO hi}` (per-bracket inclusivity, `*` =
+    open bound), simple range `>v >=v <v <=v`, or `_exists_` (fld ==
+    '_exists_', val = target field). Numeric fields compare as ints,
+    not lexicographically."""
+    if fld == "_exists_":
+        if val in ALWAYS_PRESENT_FIELDS:
+            return F.lit(True)
+        return F.col(val).isNotNull()
     col = F.col(fld)
 
     def bound(v):
@@ -446,13 +688,19 @@ def _one_predicate(fld: str, val: str) -> Column:
 
     m = _RANGE_RE.match(val)
     if m:
-        lo, hi = m.group(1), m.group(2)
+        lo, hi = m.group(2), m.group(3)
+        lo_inc, hi_inc = m.group(1) == "[", m.group(4) == "]"
         cond = F.lit(True)
         if lo != "*":
-            cond = cond & (col >= bound(lo))
+            cond = cond & ((col >= bound(lo)) if lo_inc else (col > bound(lo)))
         if hi != "*":
-            cond = cond & (col <= bound(hi))
+            cond = cond & ((col <= bound(hi)) if hi_inc else (col < bound(hi)))
         return cond
+    m = _SIMPLE_RANGE_RE.match(val)
+    if m:
+        op, v = m.group(1), bound(m.group(2))
+        return {"<": col < v, "<=": col <= v,
+                ">": col > v, ">=": col >= v}[op]
     if val.endswith("*"):
         return col.startswith(val[:-1])
     return col == bound(val)
@@ -478,6 +726,11 @@ def python_filter(filters: list[tuple[str, str]],
     code-point order."""
     def one(fld: str, val: str):
         numeric = fld in NUMERIC_FILTER_FIELDS
+        if fld == "_exists_":
+            if val in ALWAYS_PRESENT_FIELDS:
+                return lambda row: True
+            # isNotNull never yields NULL — a two-valued predicate
+            return lambda row, v=val: row.get(v) is not None
 
         def coerce(v: str):
             if numeric:
@@ -491,8 +744,9 @@ def python_filter(filters: list[tuple[str, str]],
 
         m = _RANGE_RE.match(val)
         if m:
-            lo = None if m.group(1) == "*" else coerce(m.group(1))
-            hi = None if m.group(2) == "*" else coerce(m.group(2))
+            lo = None if m.group(2) == "*" else coerce(m.group(2))
+            hi = None if m.group(3) == "*" else coerce(m.group(3))
+            lo_inc, hi_inc = m.group(1) == "[", m.group(4) == "]"
 
             def rng(row):
                 if lo is None and hi is None:
@@ -502,10 +756,26 @@ def python_filter(filters: list[tuple[str, str]],
                     return None
                 if numeric:
                     cur = int(cur)
-                return ((lo is None or cur >= lo)
-                        and (hi is None or cur <= hi))
+                return ((lo is None
+                         or (cur >= lo if lo_inc else cur > lo))
+                        and (hi is None
+                             or (cur <= hi if hi_inc else cur < hi)))
 
             return rng
+        m = _SIMPLE_RANGE_RE.match(val)
+        if m:
+            op, want = m.group(1), coerce(m.group(2))
+            import operator
+            cmp = {"<": operator.lt, "<=": operator.le,
+                   ">": operator.gt, ">=": operator.ge}[op]
+
+            def srng(row):
+                cur = row.get(fld)
+                if cur is None:
+                    return None
+                return cmp(int(cur) if numeric else cur, want)
+
+            return srng
         if val.endswith("*"):
             pfx = val[:-1]
 
@@ -526,8 +796,29 @@ def python_filter(filters: list[tuple[str, str]],
 
         return eq
 
-    pos = [one(f, v) for f, v in filters]
-    neg = [one(f, v) for f, v in neg_filters]
+    def compile_entry(entry):
+        """A plain (fld, val) pair, or a GROUP (tuple of pairs) from
+        field grouping — the group ORs its members with Catalyst
+        three-valued OR: True if any True, else None if any None,
+        else False."""
+        if entry and isinstance(entry[0], tuple):
+            members = [one(f, v) for f, v in entry]
+
+            def orred(row):
+                out = False
+                for p in members:
+                    r = p(row)
+                    if r is True:
+                        return True
+                    if r is None:
+                        out = None
+                return out
+
+            return orred
+        return one(entry[0], entry[1])
+
+    pos = [compile_entry(e) for e in filters]
+    neg = [compile_entry(e) for e in neg_filters]
 
     def pred(row) -> bool:
         # the filter keeps a row only when the whole conjunction is
@@ -544,14 +835,44 @@ def python_filter(filters: list[tuple[str, str]],
     return pred
 
 
+def _entry_predicate(entry) -> Column:
+    """A filter entry: plain (fld, val), or a GROUP tuple of pairs
+    (field grouping / parenthesized OR of predicates) that ORs its
+    members."""
+    if entry and isinstance(entry[0], tuple):
+        cond = F.lit(False)
+        for fld, val in entry:
+            cond = cond | _one_predicate(fld, val)
+        return cond
+    return _one_predicate(entry[0], entry[1])
+
+
 def filter_condition(filters: list[tuple[str, str]],
                      neg_filters: list[tuple[str, str]] = ()) -> Column:
     """AND of the structured predicates (negated ones excluded), as a
     Catalyst column over the forward table (columns: conv_id,
     turn_idx, role, tool)."""
     cond = F.lit(True)
-    for fld, val in filters:
-        cond = cond & _one_predicate(fld, val)
-    for fld, val in neg_filters:
-        cond = cond & ~_one_predicate(fld, val)
+    for entry in filters:
+        cond = cond & _entry_predicate(entry)
+    for entry in neg_filters:
+        cond = cond & ~_entry_predicate(entry)
     return cond
+
+
+def filter_columns(filters, neg_filters=()) -> set[str]:
+    """The physical forward-table columns the filter entries read —
+    for the engine's 'filter field exists in the forward table'
+    validation. `_exists_` reads its TARGET column (none when the
+    target is non-null by construction); group entries read every
+    member's column."""
+    cols: set[str] = set()
+    for entry in list(filters) + list(neg_filters):
+        pairs = entry if entry and isinstance(entry[0], tuple) else [entry]
+        for fld, val in pairs:
+            if fld == "_exists_":
+                if val not in ALWAYS_PRESENT_FIELDS:
+                    cols.add(val)
+            else:
+                cols.add(fld)
+    return cols

@@ -43,6 +43,7 @@ from sparkbm25 import catalog
 from sparkbm25.analysis import tokenize_one
 from sparkbm25.codec import decode_blocks
 from sparkbm25.config import IndexConfig
+from sparkbm25.querystring import filter_columns as qs_filter_columns
 
 
 def _load_stats(index_dir: str) -> tuple[int, float, IndexConfig, list[dict]]:
@@ -605,6 +606,12 @@ def _flatten_or_leaves(tree):
             # merges into the union
             out.append(("phrase", (tuple(c.terms), int(c.slop)),
                         float(c.boost)))
+        elif isinstance(c, qs.And) and not c.children:
+            # the MatchAll sentinel (querystring._match_all): this OR
+            # group came from a `+` required-clause rewrite — it
+            # matches every doc, so as a conjunct it does NOT gate;
+            # its other leaves still score (Lucene SHOULD-under-MUST)
+            out.append(("matchall", None, 0.0))
         else:
             return None
     return out or None
@@ -1080,9 +1087,9 @@ def search_batch(
         # scan+union grew the plan and the scan count linearly in the
         # number of filtered queries (VERDICT r3 item 7)
         docs_df = _docs()
-        missing = {fld for fl, nfl in qfilters.values()
-                   for fld, _ in list(fl) + list(nfl)
-                   if fld not in docs_df.columns}
+        missing = {c for fl, nfl in qfilters.values()
+                   for c in qs_filter_columns(fl, nfl)
+                   if c not in docs_df.columns}
         if missing:
             raise ValueError(
                 f"query_string filter fields not in index forward table: {missing}")
@@ -1882,9 +1889,9 @@ class Searcher:
         from sparkbm25.querystring import python_filter
 
         docs_df = self._forward_docs()
-        missing_f = {fld for fld, _ in
-                     list(parsed.filters) + list(parsed.neg_filters)
-                     if fld not in docs_df.columns}
+        missing_f = {c for c in qs_filter_columns(parsed.filters,
+                                                  parsed.neg_filters)
+                     if c not in docs_df.columns}
         if missing_f:
             raise ValueError(
                 f"query_string filter fields not in index forward table: "
@@ -2113,8 +2120,13 @@ class Searcher:
         positive leaves — i.e. the sum of the per-group union scores,
         restricted to the intersection of the positive groups' doc
         sets minus the negative groups' unions (NOT leaves never
-        score). Returns None when the probe bound or the filter-probe
-        budget routes to batch."""
+        score). A group containing the MatchAll sentinel (a `+`
+        required-clause rewrite's SHOULD group, round 5) is OPTIONAL:
+        it never gates the candidate set, but its leaves still add
+        score where they match. Returns None when the probe bound or
+        the filter-probe budget routes to batch, when no gating group
+        remains, or when a NEGATIVE group is vacuous (NOT matchall =
+        match nothing — the batch mask algebra owns that corner)."""
         cfg = self.cfg
         empty = pd.DataFrame(columns=["rank", "conv_id", "turn_idx", "score"])
         all_phrase_terms = [t for g in list(groups) + list(neg_groups)
@@ -2126,19 +2138,33 @@ class Searcher:
                 "IndexConfig(store_positions=True)")
         if parsed.has_filters:
             docs_df = self._forward_docs()
-            missing_f = {fld for fld, _ in
-                         list(parsed.filters) + list(parsed.neg_filters)
-                         if fld not in docs_df.columns}
+            missing_f = {c for c in qs_filter_columns(parsed.filters,
+                                                      parsed.neg_filters)
+                         if c not in docs_df.columns}
             if missing_f:
                 raise ValueError(
                     f"query_string filter fields not in index forward "
                     f"table: {missing_f}")
+        # `+` rewrite groups: a group containing the matchall sentinel
+        # never gates — split it out as optional scorers. A vacuous
+        # NEGATIVE group or no gating group at all → batch path.
+        if any(any(lv[0] == "matchall" for lv in g) for g in neg_groups):
+            return None
+        gating = [g for g in groups
+                  if not any(lv[0] == "matchall" for lv in g)]
+        optional = [[lv for lv in g if lv[0] != "matchall"]
+                    for g in groups if any(lv[0] == "matchall" for lv in g)]
+        optional = [g for g in optional if g]
+        if not gating:
+            return None
+        groups = gating
         # expansion happens per group (cached), so collect the full
         # term set for ONE probe + ONE fetch across all groups
         # (negative groups' terms included — their postings drive the
-        # anti-membership pass and count against the driver bound)
+        # anti-membership pass and count against the driver bound;
+        # optional groups' terms likewise — they fetch to score)
         group_weights = []
-        for g in list(groups) + list(neg_groups):
+        for g in list(groups) + list(optional) + list(neg_groups):
             flat = [lv for lv in g if lv[0] != "phrase"]
             group_weights.append(self._expand_to_weights(flat) if flat else {})
         all_terms = sorted(
@@ -2179,6 +2205,21 @@ class Searcher:
         for d, s in pairs:
             idx = np.searchsorted(d, cand, side="left")
             scores += s[idx]
+        # optional (`+`-rewrite SHOULD) groups: add score where a
+        # candidate matches, never gate. PER-LEAF, left-to-right —
+        # the batch rollup's rows arrive in slot order, so summing one
+        # leaf at a time keeps float grouping aligned with it on
+        # near-tie scores (same reason _maxscore_or scores in original
+        # cursor order)
+        for g in optional:
+            for lv in g:
+                d, s = self._group_union([lv], postings, dfs)
+                if d.size == 0 or cand.size == 0:
+                    continue
+                idx = np.searchsorted(d, cand, side="left")
+                idx_c = np.clip(idx, 0, d.size - 1)
+                hit = d[idx_c] == cand
+                scores[hit] += s[idx_c[hit]]
         # negated conjuncts: remove docs matching ANY negative group's
         # union (anti-membership via searchsorted; NOT leaves never
         # score, so only the doc sets matter)

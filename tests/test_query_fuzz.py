@@ -155,24 +155,56 @@ def _eval_tree(doc, node, df_map, n, avgdl, vocab):
 
 
 def _filters_ok(doc, filters, neg_filters):
+    """Independent predicate evaluation incl. the round-5 value
+    grammar: exclusive `{}` brackets, `>=v`-style simple ranges,
+    `_exists_`, and GROUP entries (tuple of pairs ORed — field
+    grouping). NULL semantics mirror Catalyst: a None field fails the
+    positive form AND the negated form."""
     def one(fld, val):
+        if fld == "_exists_":
+            if val in ("conv_id", "turn_idx", "text"):
+                return True
+            return doc[val] is not None
         cur = doc[fld] if fld != "turn_idx" else doc["turn_idx"]
-        m = re.match(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", val, re.IGNORECASE)
+        if cur is None:
+            return None                   # three-valued: NULL
+        m = re.match(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", val,
+                     re.IGNORECASE)
         if m:
-            lo, hi = m.group(1), m.group(2)
+            lo, hi = m.group(2), m.group(3)
+            lo_inc, hi_inc = m.group(1) == "[", m.group(4) == "]"
             if fld == "turn_idx":
-                return ((lo == "*" or doc["turn_idx"] >= int(lo))
-                        and (hi == "*" or doc["turn_idx"] <= int(hi)))
-            return ((lo == "*" or str(cur) >= lo)
-                    and (hi == "*" or str(cur) <= hi))
+                cur_c, lo_c = doc["turn_idx"], (None if lo == "*" else int(lo))
+                hi_c = None if hi == "*" else int(hi)
+            else:
+                cur_c = str(cur)
+                lo_c, hi_c = (None if lo == "*" else lo), (None if hi == "*" else hi)
+            return ((lo_c is None or (cur_c >= lo_c if lo_inc else cur_c > lo_c))
+                    and (hi_c is None or (cur_c <= hi_c if hi_inc else cur_c < hi_c)))
+        m = re.match(r"^(>=|<=|>|<)(.+)$", val)
+        if m:
+            import operator
+            cmp = {"<": operator.lt, "<=": operator.le,
+                   ">": operator.gt, ">=": operator.ge}[m.group(1)]
+            if fld == "turn_idx":
+                return cmp(doc["turn_idx"], int(m.group(2)))
+            return cmp(str(cur), m.group(2))
         if val.endswith("*"):
-            return cur is not None and str(cur).startswith(val[:-1])
+            return str(cur).startswith(val[:-1])
         if fld == "turn_idx":
             return doc["turn_idx"] == int(val)
         return cur == val
 
-    return (all(one(f, v) for f, v in filters)
-            and not any(one(f, v) for f, v in neg_filters))
+    def entry(e):
+        if e and isinstance(e[0], tuple):
+            rs = [one(f, v) for f, v in e]
+            if any(r is True for r in rs):
+                return True
+            return None if any(r is None for r in rs) else False
+        return one(e[0], e[1])
+
+    return (all(entry(e) is True for e in filters)
+            and all(entry(e) is False for e in neg_filters))
 
 
 def _reference_eval(query_text, docs, df_map, n, avgdl, vocab):
@@ -255,8 +287,30 @@ def _gen_queries(rng, vocab):
         lambda: (lambda t: f"{t[:-1]}?")(wl()),
         lambda: (lambda t: f"*{t[2:]}")(wl()),
         lambda: f"{w()} OR te?t",
+        # round-5 grammar: &&/||/!, `+` required clauses, field
+        # grouping, _exists_, exclusive + one-sided ranges
+        lambda: f"{w()} && {w()}",
+        lambda: f"{w()} || {rare()}",
+        lambda: f"!{w()} {w()}",
+        lambda: f"+{w()} {w()}",
+        lambda: f"+{w()} {w()} {w()}",
+        lambda: f"+{w()} +{w()} {w()}",
+        lambda: f"+{w()} {w()} role:{rng.choice(roles)}",
+        lambda: f"+{w()} {wl()[:4]}*",
+        lambda: f'+{w()} "{w()} {w()}"',
+        lambda: f"role:({rng.choice(roles)} OR {rng.choice(roles)}) {w()}",
+        lambda: f"(role:{rng.choice(roles)} OR role:{rng.choice(roles)}) {w()}",
+        lambda: f"NOT role:({rng.choice(roles)} OR {rng.choice(roles)}) {w()}",
+        lambda: f"_exists_:tool {w()}",
+        lambda: f"NOT _exists_:tool {w()}",
+        lambda: f"turn_idx:{{0 TO {int(rng.integers(1, 5))}}} {w()}",
+        lambda: f"turn_idx:[0 TO {int(rng.integers(1, 5))}}} {w()}",
+        lambda: f"turn_idx:>={int(rng.integers(0, 4))} {w()}",
+        lambda: f"turn_idx:<{int(rng.integers(1, 5))} {w()}",
+        lambda: f'-"{w()} {w()}" {w()}',
+        lambda: f"text:({w()} OR {w()})",
     ]
-    return [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(24)]
+    return [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(36)]
 
 
 def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
@@ -310,6 +364,21 @@ def test_searcher_driver_paths_match_batch_fuzz(spark, corpus):
         lambda: f"({w()} OR {w()}) AND NOT ({w()} OR {wl()[:4]}*)",
         lambda: f"role:{rng.choice(roles)} {w()} -{w()}",
         lambda: f'{w()} AND NOT "{w()} {w()}"',
+        # round-5 grammar on the driver: `+` required clauses route
+        # through the CNF path's optional groups; field grouping,
+        # _exists_, and the extended range values ride the filtered
+        # path; &&/||/! alias the boolean operators
+        lambda: f"+{w()} {w()}",
+        lambda: f"+{w()} {w()} {w()}",
+        lambda: f"+{w()} +{w()} {w()}",
+        lambda: f"+{w()} {wl()[:4]}*",
+        lambda: f"+{w()} {w()} role:{rng.choice(roles)}",
+        lambda: f"role:({rng.choice(roles)} OR {rng.choice(roles)}) {w()}",
+        lambda: f"NOT _exists_:tool {w()}",
+        lambda: f"_exists_:tool {w()} && {w()}",
+        lambda: f"turn_idx:{{0 TO 3}} {w()}",
+        lambda: f"turn_idx:>=2 {w()} || {w()}",
+        lambda: f"!{w()} {w()}",
     ]
     s = Searcher(spark, d)
     texts = [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(18)]
