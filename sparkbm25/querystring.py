@@ -254,6 +254,26 @@ _FUZZY_RE = re.compile(r"^([^\s~]+)~([0-2])?$")
 # the range-banded fast shape)
 _WILDCARD_RE = re.compile(r"^[a-z0-9*?]*[*?][a-z0-9*?]*$")
 _BOOST_RE = re.compile(r"^(.+?)\^([0-9]*\.?[0-9]+)$")
+# a numeric ~suffix that _FUZZY_RE rejected (edit distance > 2 or
+# fractional): raise, never token-split
+_BAD_FUZZY_RE = re.compile(r"^[^\s~]+~[0-9]*\.?[0-9]+$")
+# a standalone `^B` token (the lexer splits it off after a `)`):
+# Lucene group boost
+_GROUP_BOOST_RE = re.compile(r"^\^([0-9]*\.?[0-9]+)$")
+
+
+def _scale_boosts(node: Node, factor: float) -> None:
+    """Multiply `factor` into every scoring leaf of a subtree — the
+    Lucene group-boost semantics `(a b)^2` under this engine's score
+    model (score = Σ leaf-BM25 × boost, so scaling the leaves scales
+    the group's contribution exactly). Filters never score and NOT
+    leaves never score, so both are left untouched."""
+    if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Wildcard)):
+        node.boost *= factor
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _scale_boosts(c, factor)
+    # Filter / Not: no scoring leaves to scale
 
 
 @dataclass
@@ -390,13 +410,19 @@ class _Parser:
 
     def atom(self) -> Node | None:
         t = self.next()
+        if t is not None and t.upper() in ("AND", "OR", "&&", "||"):
+            # a boolean operator where a clause belongs (leading `OR
+            # spark`, doubled `a AND AND b`): Lucene raises a parse
+            # error — never quietly score the operator word as a term
+            raise ValueError(
+                f"dangling boolean operator {t!r}: expected a clause")
         if t == "(":
             self.explicit = True
             node = self.or_expr()
             if self.peek() != ")":
                 raise ValueError("unbalanced parenthesis in query")
             self.next()
-            return node
+            return node if node is None else self._group_boost(node)
         # `field:` immediately before a group: Lucene field grouping.
         # `text:(a OR b)` scopes full-text (identity — parse the group
         # normally); a filter field distributes over the group's
@@ -413,7 +439,15 @@ class _Parser:
             if fld in TEXT_FIELDS:
                 return self.atom()       # consume the group as text
             if fld in FILTER_FIELDS:
-                return self._filter_group(fld)
+                node = self._filter_group(fld)
+                # a trailing `^B` on a predicate group is consumed and
+                # IGNORED: filters never score (same contract as
+                # `role:user^2` — the boost suffix strips before the
+                # field parse)
+                nxt = self.peek()
+                if nxt is not None and _GROUP_BOOST_RE.match(nxt):
+                    self.next()
+                return node
             raise ValueError(
                 f"unknown field {dm.group(1)!r}: filter fields are "
                 f"{sorted(FILTER_FIELDS)}, full-text fields "
@@ -424,6 +458,13 @@ class _Parser:
         if bm and not bm.group(1).endswith("]"):   # never inside a range
             t, boost = bm.group(1), float(bm.group(2))
             self.explicit = True
+        if t.startswith("^"):
+            # a boost with no clause to attach to (`spark ^2`, doubled
+            # `(a b)^2^3`): raise — the digits must never score as a
+            # bare term (group boosts are consumed at the `)` instead)
+            raise ValueError(
+                f"dangling boost token {t!r}: a ^boost must suffix a "
+                "clause or a closed group")
         # resolve a leading `field:` BEFORE leaf parsing so unknown
         # fields can never silently re-tokenize into bare terms
         # (VERDICT r4 item 1a: `language:FRENCH` became the two terms
@@ -484,6 +525,13 @@ class _Parser:
             if len(ftoks) == 1:
                 self.explicit = True
                 return Fuzzy(ftoks[0], int(fm.group(2) or 2), boost)
+        if _BAD_FUZZY_RE.match(t):
+            # `foo~3` / `foo~1.5`: Lucene caps term fuzziness at edit
+            # distance 2 — raise instead of token-splitting the suffix
+            # into a scoring term (the round-4 slop-as-term bug class)
+            raise ValueError(
+                f"fuzzy edit distance in {t!r} must be 0-2 "
+                "(Lucene fuzzy-query maximum)")
         wm = _WILDCARD_RE.match(t.lower())
         if wm:
             # `te*t` / `t?st` — Lucene wildcard query (round-4 split
@@ -503,6 +551,23 @@ class _Parser:
         # one written word analyzing to several terms ('foo-bar'):
         # conjunction of its parts (Lucene-ish)
         return And([Term(x, boost) for x in terms])
+
+    def _group_boost(self, node: Node) -> Node:
+        """After a closed `)`: consume an attached `^B` token (the
+        lexer splits it from the paren) and scale the group's scoring
+        leaves. Round 4-and-earlier scored the `2` of `(a b)^2` as a
+        bare TERM (same silent-misparse class as the slop-as-term
+        bug). A predicate-only group keeps the boost consumed-and-
+        ignored (filters never score)."""
+        t = self.peek()
+        if t is None:
+            return node
+        gm = _GROUP_BOOST_RE.match(t)
+        if gm is None:
+            return node
+        self.next()
+        _scale_boosts(node, float(gm.group(1)))
+        return node
 
     def _filter_group(self, fld: str) -> Node:
         """`role:(en OR fr)` — consume `( v1 [OR] v2 ... )` and return

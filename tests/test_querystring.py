@@ -458,3 +458,60 @@ def test_boost_and_fuzzy_parse_shapes():
     assert isinstance(p.tree, Fuzzy) and p.tree.max_edits == 1
     p = parse_query_string('sprak~')
     assert isinstance(p.tree, Fuzzy) and p.tree.max_edits == 2
+
+
+def test_group_boost_scales_scoring_leaves():
+    """Lucene group boost `(a b)^2` scales every scoring leaf of the
+    group (round-5 fix: the `^2` previously re-tokenized into a bare
+    scoring TERM — same silent-misparse class as the r4 slop bug)."""
+    from sparkbm25.querystring import And, Or, Term, parse_query_string
+
+    p = parse_query_string('(spark join)^2')
+    assert isinstance(p.tree, And)
+    assert [(c.text, c.boost) for c in p.tree.children] == [
+        ('spark', 2.0), ('join', 2.0)]
+
+    p = parse_query_string('(spark OR shuffle)^1.5 table')
+    grp, tail = p.tree.children
+    assert isinstance(grp, Or)
+    assert all(c.boost == 1.5 for c in grp.children)
+    assert isinstance(tail, Term) and tail.boost == 1.0
+
+    # nested: inner leaf boost composes multiplicatively
+    p = parse_query_string('(spark^2 join)^3')
+    assert [(c.text, c.boost) for c in p.tree.children] == [
+        ('spark', 6.0), ('join', 3.0)]
+
+    # a boost on a predicate-only group is consumed and IGNORED
+    # (filters never score)
+    p = parse_query_string('role:(user OR assistant)^2')
+    assert p.tree is None
+    assert p.filters == [(('role', 'user'), ('role', 'assistant'))]
+
+
+def test_group_boost_skips_not_and_filter_leaves():
+    from sparkbm25.querystring import And, Not, Term, parse_query_string
+
+    p = parse_query_string('(spark NOT join role:user)^4')
+    assert isinstance(p.tree, And)
+    pos, neg = p.tree.children
+    assert isinstance(pos, Term) and pos.boost == 4.0
+    # the NOT child never scores -> its boost is untouched
+    assert isinstance(neg, Not) and neg.child.boost == 1.0
+    # the predicate leaf extracts to a filter, also unscaled/unscored
+    assert p.filters == [('role', 'user')]
+
+
+def test_malformed_operators_raise_not_retokenize():
+    """Dangling booleans/boosts and out-of-range fuzziness raise a
+    ValueError instead of silently scoring the operator word or the
+    digits as bare terms (round-5; VERDICT r4 'silent misparse'
+    class)."""
+    import pytest as _pytest
+
+    from sparkbm25.querystring import parse_query_string
+
+    for q in ['OR spark', 'a AND AND b', '&& x', 'a || || b',
+              'spark ^2', '(a b)^2^3', 'foo~3', 'foo~1.5']:
+        with _pytest.raises(ValueError):
+            parse_query_string(q)
