@@ -10,6 +10,14 @@ reference user actually writes:
     field:value            equality   (fields: role, tool, conv_id,
                            turn_idx — numeric fields compare as ints)
     field:prefix*          prefix match on a filter field
+    field:u?er  field:*nt  general Lucene wildcard on a filter field
+                           (`*` any run, `?` one char), compiled to a
+                           JVM LIKE; round 4 fell through to literal
+                           equality (silently matched nothing).
+                           Numeric fields raise (ES rejects them too)
+    field:*                exists alias (Lucene `field:*` == the
+                           `_exists_` query; two-valued, so `-field:*`
+                           keeps rows where the field is missing)
     field:[A TO B]         inclusive range, `*` = open bound
                            (Lucene range syntax)
     field:{A TO B}         EXCLUSIVE range (round 5; either bracket may
@@ -730,12 +738,37 @@ def parse_query_string(q: str,
 ALWAYS_PRESENT_FIELDS = {"conv_id", "turn_idx", "text"}
 
 
+def _like_pattern(val: str) -> str:
+    """Lucene wildcard value (`*` = any run, `?` = one char) -> a SQL
+    LIKE pattern with the default `\\` escape: literal `%`/`_`/`\\`
+    escape, `*` -> `%`, `?` -> `_`. The LIKE form keeps the predicate
+    JVM-side (StringType Like, whole-stage codegen) instead of an
+    rlike regex compile per row batch."""
+    out = []
+    for ch in val:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _one_predicate(fld: str, val: str) -> Column:
-    """One structured predicate: equality, prefix (`val*`), Lucene
+    """One structured predicate: equality, prefix (`val*`), general
+    wildcard (`u?er`, `*ant` — Lucene wildcard query on a keyword
+    field, compiled to LIKE; round 5: these previously fell through to
+    literal equality and silently matched nothing), `field:*` (the
+    Lucene exists alias — same contract as `_exists_:field`), Lucene
     range `[lo TO hi]` / `{lo TO hi}` (per-bracket inclusivity, `*` =
     open bound), simple range `>v >=v <v <=v`, or `_exists_` (fld ==
     '_exists_', val = target field). Numeric fields compare as ints,
-    not lexicographically."""
+    not lexicographically; wildcards on numeric fields raise (ES
+    rejects them too — a silent string-compare would be a wrong
+    answer, not a degraded one)."""
     if fld == "_exists_":
         if val in ALWAYS_PRESENT_FIELDS:
             return F.lit(True)
@@ -766,15 +799,32 @@ def _one_predicate(fld: str, val: str) -> Column:
         op, v = m.group(1), bound(m.group(2))
         return {"<": col < v, "<=": col <= v,
                 ">": col > v, ">=": col >= v}[op]
-    if val.endswith("*"):
-        return col.startswith(val[:-1])
+    if val == "*":
+        # Lucene `field:*` == exists query. Two-valued like `_exists_`
+        # (isNotNull never yields NULL), so `-field:*` keeps rows where
+        # the field is missing — the ES semantics; the old
+        # startswith('') form made NULL rows fail BOTH polarities.
+        if fld in ALWAYS_PRESENT_FIELDS:
+            return F.lit(True)
+        return col.isNotNull()
+    if "*" in val or "?" in val:
+        if fld in NUMERIC_FILTER_FIELDS:
+            raise ValueError(
+                f"field {fld!r} is numeric: wildcard value {val!r} is "
+                "not supported (use a range)")
+        if val.endswith("*") and "?" not in val and "*" not in val[:-1]:
+            # pure trailing-star: StartsWith pushes to the parquet scan
+            # (min/max row-group pruning), LIKE '%' does not
+            return col.startswith(val[:-1])
+        return col.like(_like_pattern(val))
     return col == bound(val)
 
 
 def python_filter(filters: list[tuple[str, str]],
                   neg_filters: list[tuple[str, str]] = ()):
     """Driver-side twin of filter_condition: a callable(row_mapping)
-    -> bool with IDENTICAL semantics (equality, `val*` prefix,
+    -> bool with IDENTICAL semantics (equality, `val*` prefix, general
+    `*`/`?` wildcards, the `field:*` exists alias,
     inclusive `[A TO B]` ranges with `*` open bounds; numeric fields
     compare as ints; a NULL field value never satisfies a positive
     predicate — Catalyst three-valued logic collapses to False at the
@@ -841,16 +891,39 @@ def python_filter(filters: list[tuple[str, str]],
                 return cmp(int(cur) if numeric else cur, want)
 
             return srng
-        if val.endswith("*"):
-            pfx = val[:-1]
+        if val == "*":
+            # exists alias: two-valued, mirrors the Catalyst isNotNull
+            if fld in ALWAYS_PRESENT_FIELDS:
+                return lambda row: True
+            return lambda row: row.get(fld) is not None
+        if "*" in val or "?" in val:
+            if numeric:
+                raise ValueError(
+                    f"field {fld!r} is numeric: wildcard value {val!r} "
+                    "is not supported (use a range)")
+            if val.endswith("*") and "?" not in val and "*" not in val[:-1]:
+                pfx = val[:-1]
 
-            def swith(row):
+                def swith(row):
+                    cur = row.get(fld)
+                    if cur is None:
+                        return None
+                    return str(cur).startswith(pfx)
+
+                return swith
+            # general wildcard: regex twin of the Catalyst LIKE
+            # (re.S so `?`/`.` spans newlines exactly like LIKE `_`)
+            rx = re.compile("".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in val), re.S)
+
+            def wld(row):
                 cur = row.get(fld)
                 if cur is None:
                     return None
-                return str(cur).startswith(pfx)
+                return rx.fullmatch(str(cur)) is not None
 
-            return swith
+            return wld
         want = coerce(val)
 
         def eq(row):
