@@ -18,6 +18,14 @@ reference user actually writes:
     field:*                exists alias (Lucene `field:*` == the
                            `_exists_` query; two-valued, so `-field:*`
                            keeps rows where the field is missing)
+    field:/re/             Lucene regexp on a keyword field (round 5):
+                           anchored full-value match via rlike. On the
+                           text field (or bare `/re/`) it is a regexp
+                           QUERY: anchored full-term match against the
+                           term dictionary, scoring_boolean rewrite
+                           like prefix/wildcard. Patterns are NOT
+                           analyzed (Lucene semantics); `\/` escapes a
+                           literal slash
     field:[A TO B]         inclusive range, `*` = open bound
                            (Lucene range syntax)
     field:{A TO B}         EXCLUSIVE range (round 5; either bracket may
@@ -152,6 +160,11 @@ _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 _TOKEN_RE = re.compile(
     r'[-+!]?(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*"'
     r'(?:~[0-9]+)?(?:\^[0-9]*\.?[0-9]+)?'
+    # Lucene regexp `/pat/` (optionally field-scoped / occur-prefixed /
+    # boosted) lexes WHOLE: the body may contain spaces and parens, and
+    # a literal `/` inside is written `\/` (Lucene regexp escaping)
+    r'|[-+!]?(?:[A-Za-z_][A-Za-z0-9_]*:)?/(?:[^/\\]|\\.)+/'
+    r'(?:\^[0-9]*\.?[0-9]+)?'
     r'|\(|\)'
     r'|[^\s()"]+:[\[{][^\]}]*[\]}]'
     r'|[^\s()]+')
@@ -200,6 +213,12 @@ class Wildcard:
 
 
 @dataclass
+class Regexp:
+    pattern: str        # Lucene `/re/` — anchored full-term match,
+    boost: float = 1.0  # NOT analyzed (Lucene never analyzes regexps)
+
+
+@dataclass
 class Filter:
     fld: str
     value: str
@@ -220,7 +239,8 @@ class Or:
     children: list["Node"]
 
 
-Node = Term | Phrase | Prefix | Fuzzy | Wildcard | Filter | Not | And | Or
+Node = (Term | Phrase | Prefix | Fuzzy | Wildcard | Regexp | Filter
+        | Not | And | Or)
 
 
 @dataclass
@@ -268,6 +288,9 @@ _BAD_FUZZY_RE = re.compile(r"^[^\s~]+~[0-9]*\.?[0-9]+$")
 # a standalone `^B` token (the lexer splits it off after a `)`):
 # Lucene group boost
 _GROUP_BOOST_RE = re.compile(r"^\^([0-9]*\.?[0-9]+)$")
+# Lucene regexp leaf `/pat/` — the body may not contain an unescaped
+# `/` (write `\/`), matching the lexer's regexp alternative
+_REGEXP_RE = re.compile(r"^/((?:[^/\\]|\\.)+)/$")
 
 
 def _scale_boosts(node: Node, factor: float) -> None:
@@ -276,7 +299,7 @@ def _scale_boosts(node: Node, factor: float) -> None:
     model (score = Σ leaf-BM25 × boost, so scaling the leaves scales
     the group's contribution exactly). Filters never score and NOT
     leaves never score, so both are left untouched."""
-    if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Wildcard)):
+    if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Wildcard, Regexp)):
         node.boost *= factor
     elif isinstance(node, (And, Or)):
         for c in node.children:
@@ -516,6 +539,16 @@ class _Parser:
             slop = int(pm.group(2) or 0)
             return Phrase(_analyze(pm.group(1), self.token_pattern),
                           boost, slop)
+        rm = _REGEXP_RE.match(t)
+        if rm:
+            # `/pat/` — Lucene regexp query: anchored full-term match
+            # against the dictionary (scoring_boolean rewrite like
+            # prefix/wildcard). The pattern is NOT analyzed — Lucene
+            # never analyzes regexps — so uppercase literals never
+            # match the lowercased dictionary, exactly like Lucene
+            # without the case_insensitive flag.
+            self.explicit = True
+            return Regexp(rm.group(1).replace("\\/", "/"), boost)
         pm = _PREFIX_RE.match(t)
         if pm:
             # `spar*` — Lucene prefix query: expands against the term
@@ -697,13 +730,13 @@ def _reject_nested_filters(node: Node) -> None:
 
 def collect_leaves(node: Node | None):
     """Positive and negative text leaves (Term/Phrase/Prefix/Fuzzy/
-    Wildcard) of the tree in stable left-to-right order. A leaf under
-    an odd number of NOTs is negative (never scores)."""
-    pos: list[Term | Phrase | Prefix | Fuzzy | Wildcard] = []
-    negd: list[Term | Phrase | Prefix | Fuzzy | Wildcard] = []
+    Wildcard/Regexp) of the tree in stable left-to-right order. A leaf
+    under an odd number of NOTs is negative (never scores)."""
+    pos: list[Term | Phrase | Prefix | Fuzzy | Wildcard | Regexp] = []
+    negd: list[Term | Phrase | Prefix | Fuzzy | Wildcard | Regexp] = []
 
     def walk(n: Node, neg: bool):
-        if isinstance(n, (Term, Phrase, Prefix, Fuzzy, Wildcard)):
+        if isinstance(n, (Term, Phrase, Prefix, Fuzzy, Wildcard, Regexp)):
             (negd if neg else pos).append(n)
         elif isinstance(n, Not):
             walk(n.child, not neg)
@@ -807,6 +840,16 @@ def _one_predicate(fld: str, val: str) -> Column:
         if fld in ALWAYS_PRESENT_FIELDS:
             return F.lit(True)
         return col.isNotNull()
+    rm = _REGEXP_RE.match(val)
+    if rm:
+        # Lucene regexp on a keyword field (`role:/us.r/`): anchored
+        # full-value match (Lucene regexps are implicitly anchored;
+        # Spark rlike is a substring search, hence the ^(?:)$ wrap)
+        if fld in NUMERIC_FILTER_FIELDS:
+            raise ValueError(
+                f"field {fld!r} is numeric: regexp value {val!r} is "
+                "not supported (use a range)")
+        return col.rlike("^(?:" + rm.group(1).replace("\\/", "/") + ")$")
     if "*" in val or "?" in val:
         if fld in NUMERIC_FILTER_FIELDS:
             raise ValueError(
@@ -896,6 +939,21 @@ def python_filter(filters: list[tuple[str, str]],
             if fld in ALWAYS_PRESENT_FIELDS:
                 return lambda row: True
             return lambda row: row.get(fld) is not None
+        m = _REGEXP_RE.match(val)
+        if m:
+            if numeric:
+                raise ValueError(
+                    f"field {fld!r} is numeric: regexp value {val!r} "
+                    "is not supported (use a range)")
+            rrx = re.compile(m.group(1).replace("\\/", "/"))
+
+            def rex(row):
+                cur = row.get(fld)
+                if cur is None:
+                    return None
+                return rrx.fullmatch(str(cur)) is not None
+
+            return rex
         if "*" in val or "?" in val:
             if numeric:
                 raise ValueError(

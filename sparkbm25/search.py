@@ -109,7 +109,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
     def eval_empty(n) -> bool:
         """The boolean tree at the empty mask (no leaf matched)."""
         if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix, qs.Fuzzy,
-                          qs.Wildcard)):
+                          qs.Wildcard, qs.Regexp)):
             return False
         if isinstance(n, qs.Not):
             return not eval_empty(n.child)
@@ -167,6 +167,11 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                     # dictionary like prefix/fuzzy (scoring_boolean)
                     terms = [leaf.pattern]
                     kind = "wildcard"
+                elif isinstance(leaf, qs.Regexp):
+                    # anchored full-term regexp — expands against the
+                    # dictionary like prefix/wildcard
+                    terms = [leaf.pattern]
+                    kind = "regexp"
                 else:
                     terms = [leaf.text]
                     kind = "term"
@@ -191,7 +196,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
 
                 def walk(n, m):
                     if isinstance(n, (qs.Term, qs.Phrase, qs.Prefix,
-                                      qs.Fuzzy, qs.Wildcard)):
+                                      qs.Fuzzy, qs.Wildcard, qs.Regexp)):
                         return bit(m, slot_map[id(n)])
                     if isinstance(n, qs.Not):
                         return ~walk(n.child, m)
@@ -436,6 +441,27 @@ def _wildcard_parts(pat: str) -> tuple[str, str, int, int | None]:
     return like, prefix, min_len, exact_len
 
 
+def _regexp_literal_prefix(pat: str) -> str:
+    """The longest leading LITERAL run of a regexp — the prefix every
+    match must start with, used to band the dictionary scan exactly
+    like a wildcard's literal head (Lucene extracts the same prefix
+    from its compiled automaton). Conservative: stops at the first
+    metacharacter, and a literal immediately followed by a quantifier
+    (`ab*` — the `b` is optional) is not part of the prefix."""
+    out = []
+    i = 0
+    metas = set(".?*+()[]{}|\\^$")
+    while i < len(pat):
+        ch = pat[i]
+        if ch in metas:
+            break
+        if i + 1 < len(pat) and pat[i + 1] in "*?+{":
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _prefix_upper(p: str) -> str | None:
     """Smallest string greater than every string starting with `p`:
     increment the last codepoint, carrying over maximal ones. None
@@ -451,6 +477,7 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
                       prefixes: list[str],
                       fuzzies: list[tuple[str, int]],
                       wildcards: list[str] = (),
+                      regexps: list[str] = (),
                       max_expansions: int = 128) -> dict[str, list[str]]:
     """Expand `foo*` prefix and `foo~N` fuzzy leaves against the term
     dictionary (Lucene multi-term rewrite). No bucket pruning is
@@ -526,6 +553,22 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
             src.where(cond).select("term").distinct()
             .limit(max_expansions + 1)
             .select(F.lit(f"w:{w}").alias("key"), "term"))
+    for rx in regexps:
+        # Lucene regexp: anchored full-term match (rlike is a substring
+        # search, hence the wrap); banded by the pattern's literal head
+        # when it has one — a prefix-less regexp scans the dictionary,
+        # the cost Lucene documents for such patterns
+        cond = F.col("term").rlike("^(?:" + rx + ")$")
+        pref = _regexp_literal_prefix(rx)
+        if pref:
+            cond = (F.col("term") >= F.lit(pref)) & cond
+            up = _prefix_upper(pref)
+            if up is not None:
+                cond = cond & (F.col("term") < F.lit(up))
+        parts.append(
+            src.where(cond).select("term").distinct()
+            .limit(max_expansions + 1)
+            .select(F.lit(f"x:{rx}").alias("key"), "term"))
     u = parts[0]
     for q in parts[1:]:
         u = u.unionByName(q)
@@ -536,6 +579,8 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
         out[f"f:{t}~{d}"] = []
     for w in wildcards:
         out[f"w:{w}"] = []
+    for rx in regexps:
+        out[f"x:{rx}"] = []
     for r in u.collect():
         out[r["key"]].append(r["term"])
     for key, matched in out.items():
@@ -600,6 +645,8 @@ def _flatten_or_leaves(tree):
             out.append(("fuzzy", (c.term, c.max_edits), float(c.boost)))
         elif isinstance(c, qs.Wildcard):
             out.append(("wildcard", c.pattern, float(c.boost)))
+        elif isinstance(c, qs.Regexp):
+            out.append(("regexp", c.pattern, float(c.boost)))
         elif isinstance(c, qs.Phrase):
             # positions verify driver-side (_eval_phrase): under OR a
             # phrase is just another leaf whose (docs, scores) pair
@@ -932,9 +979,11 @@ def search_batch(
                       for l in p.leaves if l["kind"] == "fuzzy"})
     wildcards = sorted({l["terms"][0] for p in plans for l in p.leaves
                         if l["kind"] == "wildcard"})
-    if (prefixes or fuzzies or wildcards) and n_docs > 0:
+    regexps = sorted({l["terms"][0] for p in plans for l in p.leaves
+                      if l["kind"] == "regexp"})
+    if (prefixes or fuzzies or wildcards or regexps) and n_docs > 0:
         expansions = _expand_multiterm(spark, index_dir, prefixes, fuzzies,
-                                       wildcards)
+                                       wildcards, regexps)
         for p in plans:
             for l in p.leaves:
                 if l["kind"] == "prefix":
@@ -944,6 +993,8 @@ def search_batch(
                         f"f:{l['terms'][0]}~{l['max_edits']}", [])
                 elif l["kind"] == "wildcard":
                     l["terms"] = expansions.get(f"w:{l['terms'][0]}", [])
+                elif l["kind"] == "regexp":
+                    l["terms"] = expansions.get(f"x:{l['terms'][0]}", [])
     qp = _plans_to_rows(plans)
     empty = spark.createDataFrame(
         [], "query_id int, rank int, conv_id string, turn_idx int, score double")
@@ -1470,7 +1521,7 @@ class Searcher:
         # forward-table DataFrame cache (filtered driver path + doc
         # resolve): created lazily, rebound by refresh()
         self._docs_df: DataFrame | None = None
-        # multi-term expansion cache (prefix/fuzzy/wildcard leaf key
+        # multi-term expansion cache (prefix/fuzzy/wildcard/regexp leaf key
         # -> sorted dictionary expansions): interactive sessions
         # repeat patterns, and the banded dictionary job is the only
         # Spark work a warm wildcard query would otherwise pay.
@@ -1753,6 +1804,8 @@ class Searcher:
                 keys.append(f"p:{payload}")
             elif kind == "fuzzy":
                 keys.append(f"f:{payload[0]}~{payload[1]}")
+            elif kind == "regexp":
+                keys.append(f"x:{payload}")
             else:
                 keys.append(f"w:{payload}")
         missing = [(leaves[i], keys[i]) for i in range(len(leaves))
@@ -1764,8 +1817,10 @@ class Searcher:
                               if lf[0] == "fuzzy"})
             wildcards = sorted({lf[1] for lf, k in missing
                                 if lf[0] == "wildcard"})
+            regexps = sorted({lf[1] for lf, k in missing
+                              if lf[0] == "regexp"})
             exp = _expand_multiterm(self.spark, self.index_dir,
-                                    prefixes, fuzzies, wildcards)
+                                    prefixes, fuzzies, wildcards, regexps)
             for key, terms in exp.items():
                 n = len(terms)
                 while (self._exp_cache_terms + n > self.exp_cache_budget
@@ -1785,7 +1840,8 @@ class Searcher:
                         self.spark, self.index_dir,
                         [payload] if kind == "prefix" else [],
                         [payload] if kind == "fuzzy" else [],
-                        [payload] if kind == "wildcard" else [])[key]
+                        [payload] if kind == "wildcard" else [],
+                        [payload] if kind == "regexp" else [])[key]
                 # LRU refresh
                 elif key in self._exp_cache:
                     self._exp_cache.pop(key)
@@ -2108,7 +2164,7 @@ class Searcher:
 
     def _search_cnf(self, parsed, groups, neg_groups, k: int) -> pd.DataFrame | None:
         """Driver path for one-level CNF trees — AND of OR-groups
-        whose members are any leaf kind (terms, prefix/fuzzy/wildcard
+        whose members are any leaf kind (terms, prefix/fuzzy/wildcard/regexp
         expansions, exact/sloppy phrases), with optional NEGATED
         conjuncts (`a AND NOT b`, `x AND NOT (spam OR junk*)`),
         filtered or not. Round 5: these shapes previously paid the
@@ -2261,7 +2317,7 @@ class Searcher:
             + full driver scoring, then the filter applies via small
             doc_block-pruned forward-table probes in score order;
           * one-level CNF trees — AND of OR-groups whose members are
-            any leaf kind (terms, prefix/fuzzy/wildcard expansions
+            any leaf kind (terms, prefix/fuzzy/wildcard/regexp expansions
             via the cached dictionary job, exact and sloppy phrases
             verified from cached position blobs), with NEGATED
             conjuncts (`a AND NOT b`) as anti-membership passes —
@@ -2376,7 +2432,7 @@ class Searcher:
               and self.n_docs <= max(
                   8 * sum(c.total for c in cursors), 1 << 20)
               and all(c.weight > 0 for c in cursors)):
-            # exhaustive-dense regime (expanded prefix/fuzzy/wildcard
+            # exhaustive-dense regime (expanded prefix/fuzzy/wildcard/regexp
             # leaves, stopword ORs): many similar-weight hot cursors
             # keep MaxScore's essential set near-total, so it pays
             # per-chunk searchsorted alignment for every cursor while

@@ -562,3 +562,67 @@ def test_wildcard_like_escaping():
     assert _like_pattern("a*b?c") == "a%b_c"
     assert _like_pattern("100%_done") == "100\\%\\_done"
     assert _like_pattern("a\\b*") == "a\\\\b%"
+
+
+def test_regexp_parse_shapes():
+    """Lucene regexp leaves `/pat/` (round 5): field-scoped, boosted,
+    negated, filter-field, and escaped-slash forms all parse; the
+    pattern is NOT analyzed."""
+    from sparkbm25.querystring import Not, Regexp, parse_query_string
+
+    p = parse_query_string('/spar[kq]/')
+    assert isinstance(p.tree, Regexp) and p.tree.pattern == 'spar[kq]'
+    p = parse_query_string('text:/te.t/^2')
+    assert isinstance(p.tree, Regexp) and p.tree.boost == 2.0
+    p = parse_query_string('/ab(c|d)/ spark')       # parens lex whole
+    assert isinstance(p.tree.children[0], Regexp)
+    assert p.tree.children[0].pattern == 'ab(c|d)'
+    p = parse_query_string(r'/a\/b/')               # \/ = literal slash
+    assert p.tree.pattern == 'a/b'
+    p = parse_query_string('-/jun.*/ spark')
+    assert isinstance(p.tree.children[0], Not)
+    p = parse_query_string('(/x[yz]/ join)^2')      # group boost scales
+    assert p.tree.children[0].boost == 2.0
+    p = parse_query_string('role:/us.r/')           # filter-field regexp
+    assert p.tree is None and p.filters == [('role', '/us.r/')]
+
+
+def test_regexp_filter_predicate(spark):
+    import pytest as _pytest
+
+    from sparkbm25.querystring import filter_condition, python_filter
+
+    rows = [("c1", 0, "user", "bash"), ("c1", 1, "assistant", None),
+            ("c2", 0, "useless", "grep"), ("c2", 1, None, "bash")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+
+    def both(filters, neg=()):
+        got = df.where(filter_condition(filters, neg)).count()
+        pf = python_filter(filters, neg)
+        py = sum(1 for r in rows if pf(
+            dict(zip(("conv_id", "turn_idx", "role", "tool"), r))))
+        assert got == py, (filters, neg, got, py)
+        return got
+
+    assert both([("role", "/us.r/")]) == 1          # anchored: not useless
+    assert both([("role", "/us.*/")]) == 2          # user + useless
+    assert both([("role", "/(user|assistant)/")]) == 2
+    assert both([], [("role", "/us.*/")]) == 1      # NULL fails NOT too
+    with _pytest.raises(ValueError, match="numeric"):
+        filter_condition([("turn_idx", "/1./")])
+    with _pytest.raises(ValueError, match="numeric"):
+        python_filter([("turn_idx", "/1./")])
+
+
+def test_regexp_expansion_banding():
+    """_regexp_literal_prefix extracts the banding head Lucene gets
+    from its automaton: stops at metachars and quantified literals."""
+    from sparkbm25.search import _regexp_literal_prefix as lp
+
+    assert lp('spar[kq]') == 'spar'
+    assert lp('s.a[rn]') == 's'
+    assert lp('ab*c') == 'a'       # the b is quantified
+    assert lp('.*x') == ''         # no literal head -> full scan
+    assert lp('join') == 'join'
+    assert lp('te{2}') == 't'
