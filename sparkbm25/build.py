@@ -84,7 +84,7 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     spark = df.sparkSession
     n_part = config.n_doc_partitions or spark.sparkContext.defaultParallelism
     cols = ["conv_id", "turn_idx", "text"]
-    attrs = [c for c in ("role", "tool") if c in df.columns]
+    attrs = [c for c in ("role", "tool", "ts") if c in df.columns]
     dfp = (
         df.select(*cols, *attrs)
         .repartitionByRange(n_part, "conv_id", "turn_idx")
@@ -123,7 +123,11 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
             off += len(pdf)
             yield out
 
-    attr_ddl = "".join(f", {a} string" for a in attrs)
+    # attr columns keep their INPUT types (role/tool are strings, ts is
+    # a timestamp — round 5: ts rides into the forward table so ES-style
+    # date-range filters have a column to hit)
+    in_types = dict(dfp.dtypes)
+    attr_ddl = "".join(f", {a} {in_types[a]}" for a in attrs)
     dfl = dfp.mapInPandas(
         local_idx_and_tokenize,
         schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
@@ -489,7 +493,7 @@ def build_index(
         # forward table (doc_ord ↔ (conv_id, turn_idx), dl) — needed for
         # top-k id resolution and the text-equality invariant check.
         catalog_docs = catalog.staging_dir(index_dir, "docs")
-        attr_cols = [c for c in ("role", "tool") if c in df_tok.columns]
+        attr_cols = [c for c in ("role", "tool", "ts") if c in df_tok.columns]
         from sparkbm25.annotate import ANNOTATION_TYPE
 
         (

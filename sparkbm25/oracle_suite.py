@@ -273,7 +273,10 @@ def docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # query, round 5) exercises real three-valued NULL semantics
         # instead of a constant-true predicate
         F.expr("nullif(source, 'src7')").alias("tool"),
-        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        # deterministic varying ts (2026-01-01 UTC + doc_id seconds) so
+        # ES-style date-range filters have something selective to hit;
+        # the DuckDB twin states the same instant as an epoch offset
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id")).alias("ts"),
     )
 
 
@@ -286,9 +289,12 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     from sparkbm25.build import build_index
     from sparkbm25.config import IndexConfig
 
+    # the name carries a version so an input-mapping change (round 5:
+    # varying ts) can never resurrect a stale on-disk index built by an
+    # earlier process with the old mapping
     index_dir = os.path.join(
         tempfile.gettempdir(),
-        "sparkbm25_entry_" + key.strip("/").replace("/", "_"),
+        "sparkbm25_entry5_" + key.strip("/").replace("/", "_"),
     )
     cfg = IndexConfig(n_term_buckets=8, n_salt_buckets=4, n_build_chunks=1,
                       store_positions=True, checkpoint_runs=False)
@@ -734,6 +740,34 @@ def q_bm25_wildcard_filter(spark, sf_dir):
 
 SQL_BM25_WILDCARD_FILTER = _bm25_filtered_sql(
     BM25_TERMS, "", lang_pred="d.lang LIKE 'e_'")
+
+
+def q_bm25_ts_filter(spark, sf_dir):
+    """ES-style DATE-RANGE filter under full-text BM25 (round 5): the
+    forward table carries the input's ts column, `ts:[A TO B]` bounds
+    parse as ISO-8601 at parse time (a typo raises, never a silent
+    NULL cast), and compare as timestamps. docs_as_transcripts maps
+    ts = 2026-01-01T00:00:00Z + doc_id seconds, so the bracket
+    [00:01:40 TO 00:04:59] is exactly doc_id 100..299 — which the
+    DuckDB twin states directly."""
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": [0],
+         "query_text": ["ts:[2026-01-01T00:01:40 TO 2026-01-01T00:04:59] "
+                        + " ".join(BM25_TERMS)],
+         "k": [TOPK]})
+    out = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
+SQL_BM25_TS_FILTER = _bm25_filtered_sql(
+    BM25_TERMS, "", lang_pred="d.doc_id BETWEEN 100 AND 299")
 
 
 def q_bm25_filter_only(spark, sf_dir):
@@ -2472,6 +2506,7 @@ QUERIES = {
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_wildcard_filter": (q_bm25_wildcard_filter,
                              SQL_BM25_WILDCARD_FILTER),
+    "bm25_ts_filter": (q_bm25_ts_filter, SQL_BM25_TS_FILTER),
     "bm25_filtered_driver": (q_bm25_filtered_driver, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
     "bm25_neg_filter": (q_bm25_neg_filter, SQL_BM25_NEG_FILTER),
@@ -2523,7 +2558,7 @@ QUERIES = {
 # silently dropped the tail (VERDICT r3 item 6). queries()/oracle_sql()
 # therefore expose exactly 50 entries — every reference-surface and
 # scale-path operator stays in the driver-checked window, and the
-# FIFTEEN entries below, whose coverage is redundant with other
+# SIXTEEN entries below, whose coverage is redundant with other
 # checked entries (generic TPC-H-ish shapes, trivial derivations, and
 # constituent stages of checked entries), are verified by the local
 # parametrized replica (tests/test_oracle_suite.py runs the FULL
@@ -2550,6 +2585,10 @@ EXCLUDED_FROM_DRIVER = (
                                  # of translate_pipeline (same write/
                                  # merge path); resume semantics are
                                  # driver-checked by resume_antijoin
+    "doc_count",                 # ★ corpus_stats states the same
+                                 # count (its `n` column) plus avgdl;
+                                 # frees the slot for the round-5
+                                 # bm25_ts_filter entry
     "bm25_regexp",               # same banded-expansion + scoring_
                                  # boolean rewrite as the driver-
                                  # checked bm25_wildcard; the regexp-

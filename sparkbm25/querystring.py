@@ -8,7 +8,11 @@ The reference hands Lucene query-string syntax straight to ES
 reference user actually writes:
 
     field:value            equality   (fields: role, tool, conv_id,
-                           turn_idx — numeric fields compare as ints)
+                           turn_idx, ts — numeric fields compare as
+                           ints; ts bounds parse as ISO-8601 and
+                           compare as timestamps, so `ts:[2026-01-01
+                           TO 2026-02-01T12:00:00]` and `ts:>=...`
+                           work like ES date ranges)
     field:prefix*          prefix match on a filter field
     field:u?er  field:*nt  general Lucene wildcard on a filter field
                            (`*` any run, `?` one char), compiled to a
@@ -144,8 +148,14 @@ from pyspark.sql import functions as F
 
 from sparkbm25.analysis import DEFAULT_TOKEN_PATTERN
 
-FILTER_FIELDS = {"role", "tool", "conv_id", "turn_idx"}
+FILTER_FIELDS = {"role", "tool", "conv_id", "turn_idx", "ts"}
 NUMERIC_FILTER_FIELDS = {"turn_idx"}   # range/equality bounds cast to int
+# timestamp fields (round 5): bounds parse as ISO-8601 (`2026-01-01`,
+# `2026-01-01T12:30:00`); the lexer's bracketed-range form has no
+# spaces inside values, so use the `T` separator. Malformed bounds
+# raise at PARSE time — a silent NULL cast would make the predicate
+# constant-false (the misparse class this grammar bans).
+TIMESTAMP_FILTER_FIELDS = {"ts"}
 # field-scoped full-text: there is exactly ONE indexed text column, so
 # `text:spark` is the same query as `spark` (ES match semantics)
 TEXT_FIELDS = {"text"}
@@ -790,6 +800,23 @@ def _like_pattern(val: str) -> str:
     return "".join(out)
 
 
+def _parse_ts_bound(fld: str, v: str):
+    """An ISO-8601 timestamp bound for a TIMESTAMP_FILTER_FIELD —
+    validated in Python so a typo raises at parse time instead of a
+    Catalyst NULL cast silently matching nothing. A datetime literal
+    compiles to a Spark TimestampType literal; with the session
+    timezone pinned to UTC (every entry point sets it) the comparison
+    is the naive-UTC compare the python_filter twin performs."""
+    from datetime import datetime
+
+    try:
+        return datetime.fromisoformat(v)
+    except ValueError:
+        raise ValueError(
+            f"field {fld!r} expects an ISO-8601 timestamp "
+            f"(2026-01-01 or 2026-01-01T12:30:00), got {v!r}") from None
+
+
 def _one_predicate(fld: str, val: str) -> Column:
     """One structured predicate: equality, prefix (`val*`), general
     wildcard (`u?er`, `*ant` — Lucene wildcard query on a keyword
@@ -815,6 +842,8 @@ def _one_predicate(fld: str, val: str) -> Column:
             except ValueError:
                 raise ValueError(
                     f"field {fld!r} expects an integer, got {v!r}") from None
+        if fld in TIMESTAMP_FILTER_FIELDS:
+            return F.lit(_parse_ts_bound(fld, v))
         return F.lit(v)
 
     m = _RANGE_RE.match(val)
@@ -845,16 +874,16 @@ def _one_predicate(fld: str, val: str) -> Column:
         # Lucene regexp on a keyword field (`role:/us.r/`): anchored
         # full-value match (Lucene regexps are implicitly anchored;
         # Spark rlike is a substring search, hence the ^(?:)$ wrap)
-        if fld in NUMERIC_FILTER_FIELDS:
+        if fld in NUMERIC_FILTER_FIELDS | TIMESTAMP_FILTER_FIELDS:
             raise ValueError(
-                f"field {fld!r} is numeric: regexp value {val!r} is "
-                "not supported (use a range)")
+                f"field {fld!r} is not a keyword field: regexp value "
+                f"{val!r} is not supported (use a range)")
         return col.rlike("^(?:" + rm.group(1).replace("\\/", "/") + ")$")
     if "*" in val or "?" in val:
-        if fld in NUMERIC_FILTER_FIELDS:
+        if fld in NUMERIC_FILTER_FIELDS | TIMESTAMP_FILTER_FIELDS:
             raise ValueError(
-                f"field {fld!r} is numeric: wildcard value {val!r} is "
-                "not supported (use a range)")
+                f"field {fld!r} is not a keyword field: wildcard value "
+                f"{val!r} is not supported (use a range)")
         if val.endswith("*") and "?" not in val and "*" not in val[:-1]:
             # pure trailing-star: StartsWith pushes to the parquet scan
             # (min/max row-group pruning), LIKE '%' does not
@@ -884,6 +913,7 @@ def python_filter(filters: list[tuple[str, str]],
     code-point order."""
     def one(fld: str, val: str):
         numeric = fld in NUMERIC_FILTER_FIELDS
+        tsfield = fld in TIMESTAMP_FILTER_FIELDS
         if fld == "_exists_":
             if val in ALWAYS_PRESENT_FIELDS:
                 return lambda row: True
@@ -898,6 +928,8 @@ def python_filter(filters: list[tuple[str, str]],
                     raise ValueError(
                         f"field {fld!r} expects an integer, got {v!r}"
                     ) from None
+            if tsfield:
+                return _parse_ts_bound(fld, v)
             return v
 
         m = _RANGE_RE.match(val)
@@ -941,10 +973,10 @@ def python_filter(filters: list[tuple[str, str]],
             return lambda row: row.get(fld) is not None
         m = _REGEXP_RE.match(val)
         if m:
-            if numeric:
+            if numeric or tsfield:
                 raise ValueError(
-                    f"field {fld!r} is numeric: regexp value {val!r} "
-                    "is not supported (use a range)")
+                    f"field {fld!r} is not a keyword field: regexp "
+                    f"value {val!r} is not supported (use a range)")
             rrx = re.compile(m.group(1).replace("\\/", "/"))
 
             def rex(row):
@@ -955,10 +987,10 @@ def python_filter(filters: list[tuple[str, str]],
 
             return rex
         if "*" in val or "?" in val:
-            if numeric:
+            if numeric or tsfield:
                 raise ValueError(
-                    f"field {fld!r} is numeric: wildcard value {val!r} "
-                    "is not supported (use a range)")
+                    f"field {fld!r} is not a keyword field: wildcard "
+                    f"value {val!r} is not supported (use a range)")
             if val.endswith("*") and "?" not in val and "*" not in val[:-1]:
                 pfx = val[:-1]
 

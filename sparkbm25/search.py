@@ -1761,7 +1761,7 @@ class Searcher:
     def _attr_cols(self) -> list[str]:
         """Structured-filter attribute columns present in the forward
         table (cached rows carry them for python_filter)."""
-        return [c for c in ("role", "tool")
+        return [c for c in ("role", "tool", "ts")
                 if c in self._forward_docs().columns]
 
     def _cache_doc(self, doc_ord: int, entry: tuple) -> None:

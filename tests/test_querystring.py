@@ -548,9 +548,9 @@ def test_wildcard_filter_values(spark):
     assert both([("tool", "*")]) == 3             # exists alias
     assert both([], [("tool", "*")]) == 1         # -tool:* == missing
     assert both([("role", "*")]) == 3             # NULL role fails exists
-    with _pytest.raises(ValueError, match="numeric"):
+    with _pytest.raises(ValueError, match="keyword"):
         filter_condition([("turn_idx", "1*")])
-    with _pytest.raises(ValueError, match="numeric"):
+    with _pytest.raises(ValueError, match="keyword"):
         python_filter([("turn_idx", "1*")])
 
 
@@ -609,9 +609,9 @@ def test_regexp_filter_predicate(spark):
     assert both([("role", "/us.*/")]) == 2          # user + useless
     assert both([("role", "/(user|assistant)/")]) == 2
     assert both([], [("role", "/us.*/")]) == 1      # NULL fails NOT too
-    with _pytest.raises(ValueError, match="numeric"):
+    with _pytest.raises(ValueError, match="keyword"):
         filter_condition([("turn_idx", "/1./")])
-    with _pytest.raises(ValueError, match="numeric"):
+    with _pytest.raises(ValueError, match="keyword"):
         python_filter([("turn_idx", "/1./")])
 
 
@@ -626,3 +626,66 @@ def test_regexp_expansion_banding():
     assert lp('.*x') == ''         # no literal head -> full scan
     assert lp('join') == 'join'
     assert lp('te{2}') == 't'
+
+
+def test_ts_filter_predicate(spark):
+    """ES-style date ranges on the ts column (round 5): ISO-8601
+    bounds validated at parse time, timestamp compare on both the
+    Catalyst and python twins."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from sparkbm25.querystring import filter_condition, python_filter
+
+    rows = [("c1", 0, "user", datetime(2026, 1, 1, 0, i, 0))
+            for i in range(4)] + [("c2", 0, "user", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp")
+
+    def both(filters, neg=()):
+        got = df.where(filter_condition(filters, neg)).count()
+        pf = python_filter(filters, neg)
+        py = sum(1 for r in rows if pf(
+            dict(zip(("conv_id", "turn_idx", "role", "ts"), r))))
+        assert got == py, (filters, neg, got, py)
+        return got
+
+    assert both([("ts", "[2026-01-01T00:01:00 TO 2026-01-01T00:02:00]")]) == 2
+    assert both([("ts", "[2026-01-01 TO *]")]) == 4      # NULL fails
+    assert both([("ts", ">=2026-01-01T00:01:00")]) == 3
+    assert both([("ts", "<2026-01-01T00:00:30")]) == 1
+    assert both([("ts", "2026-01-01T00:01:00")]) == 1    # equality
+    assert both([("ts", "*")]) == 4                      # exists alias
+    assert both([], [("ts", "*")]) == 1                  # missing ts
+    assert both([("ts", "{2026-01-01T00:00:00 TO 2026-01-01T00:02:00}")]) == 1
+    with _pytest.raises(ValueError, match="ISO-8601"):
+        filter_condition([("ts", "[junk TO 2026-01-01]")])
+    with _pytest.raises(ValueError, match="ISO-8601"):
+        python_filter([("ts", ">=notadate")])
+    with _pytest.raises(ValueError, match="keyword"):
+        filter_condition([("ts", "2026*")])
+    with _pytest.raises(ValueError, match="keyword"):
+        filter_condition([("ts", "/2026.*/")])
+
+
+def test_ts_filtered_search(spark, built):
+    """`ts:[A TO B] term` end-to-end: forward table carries ts, the
+    filtered paths honor the range, parity vs the brute oracle."""
+    import pandas as pd
+
+    t, d = built
+    lo = t.ts.quantile(0.3).strftime('%Y-%m-%dT%H:%M:%S')
+    hi = t.ts.quantile(0.7).strftime('%Y-%m-%dT%H:%M:%S')
+    exp = _filtered_oracle(
+        t, "alpha",
+        lambda x: (x["ts"] >= pd.Timestamp(lo)) & (x["ts"] <= pd.Timestamp(hi)))
+    s = Searcher(spark, d)
+    got = s.search(f"ts:[{lo} TO {hi}] alpha", k=10)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    np.testing.assert_allclose(got["score"].astype(float),
+                               exp["score"].astype(float), rtol=1e-9)
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [f"ts:[{lo} TO {hi}] alpha"], "k": [10]})
+    gb = search_batch(spark, d, q, k=10).toPandas().sort_values("rank")
+    assert gb["conv_id"].tolist() == exp["conv_id"].tolist()
