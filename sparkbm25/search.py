@@ -1273,9 +1273,12 @@ class _TermPostings:
 
     __slots__ = ("firsts", "max_impacts", "firsts_np", "max_np",
                  "starts", "all_docs", "all_tfs", "all_dls", "total", "n",
-                 "pos_blobs", "pos_bytes", "pos_flat", "pos_occ")
+                 "pos_blobs", "pos_bytes", "pos_flat", "pos_occ",
+                 "unit", "unit_key")
 
     def __init__(self, blocks: list):
+        self.unit = None
+        self.unit_key = None
         blocks = sorted(blocks, key=lambda blk: blk["first_doc"] if isinstance(blk, dict) else blk.first_doc)
         get = ((lambda blk, k: blk[k]) if (blocks and isinstance(blocks[0], dict))
                else (lambda blk, k: getattr(blk, k)))
@@ -1381,6 +1384,29 @@ class _TermPostings:
         return flat_all[gather], offs
 
 
+    def unit_scores(self, k1: float, b: float, avgdl: float) -> np.ndarray:
+        """The query-INDEPENDENT per-posting factor tf/(tf + k1*(1-b+
+        b*dl/avgdl)) — every driver algorithm's score contribution is
+        weight × this, so it computes ONCE per cached term instead of
+        once per query (profiled round 5: the per-query vector math was
+        ~60%% of warm filtered latency on a hot term). +8 B/posting on
+        the cache footprint. k1/b are fixed per index config and avgdl
+        per generation set; refresh() drops the cache, so the key check
+        is belt-and-braces."""
+        key = (k1, b, avgdl)
+        if self.unit is None or self.unit_key != key:
+            # EXACTLY the codec's max_impact association (codec.py:
+            # impacts = tfs/(tfs + k1*(1-b+b*(dls/avgdl)))), so every
+            # driver contribution weight*unit is bounded by
+            # weight*max_impact with exact float semantics — the old
+            # (weight*tf)/denom form could exceed the block bound by
+            # an ulp
+            denom = k1 * (1.0 - b + b * (self.all_dls / avgdl))
+            self.unit = self.all_tfs / (self.all_tfs + denom)
+            self.unit_key = key
+        return self.unit
+
+
 class _Cursor:
     """Per-query cursor over a (shared, read-only) _TermPostings.
 
@@ -1392,11 +1418,12 @@ class _Cursor:
 
     __slots__ = ("weight", "firsts", "max_impacts", "firsts_np", "max_np",
                  "starts", "all_docs", "all_tfs", "all_dls", "total", "n",
-                 "gpos", "cur")
+                 "gpos", "cur", "tp")
 
     def __init__(self, postings, weight: float):
         tp = postings if isinstance(postings, _TermPostings) \
             else _TermPostings(postings)
+        self.tp = tp          # shared: unit_scores caches on it
         self.weight = weight  # qtf * idf * (k1+1)
         self.firsts = tp.firsts
         self.max_impacts = tp.max_impacts
@@ -1451,9 +1478,11 @@ class _Cursor:
         self.cur = int(self.all_docs[g]) if g < self.total else _INF_DOC
 
     def score_current(self, k1: float, b: float, avgdl: float) -> float:
-        tf = float(self.all_tfs[self.gpos])
-        dl = float(self.all_dls[self.gpos])
-        return self.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        # weight × the cached query-independent unit factor: identical
+        # association to every other driver site so exact ties stay
+        # exact across path choices
+        return self.weight * float(
+            self.tp.unit_scores(k1, b, avgdl)[self.gpos])
 
 
 class Searcher:
@@ -1891,10 +1920,7 @@ class Searcher:
             scores = np.zeros(cand.size)
             for c in cursors:
                 idx = np.searchsorted(c.all_docs, cand, side="left")
-                tf = c.all_tfs[idx]
-                dl = c.all_dls[idx]
-                scores += c.weight * tf / (
-                    tf + k1 * (1.0 - b + b * dl / avgdl))
+                scores += c.weight * c.tp.unit_scores(k1, b, avgdl)[idx]
             return cand, scores
         parts_d = [c.all_docs for c in cursors if c.total > 0]
         if not parts_d:
@@ -1903,9 +1929,9 @@ class Searcher:
         for c in cursors:
             if c.total == 0:
                 continue
-            tf, dl = c.all_tfs, c.all_dls
-            parts_s.append(c.weight * tf / (
-                tf + k1 * (1.0 - b + b * dl / avgdl)))
+            # one scalar multiply over the cached unit vector — the
+            # per-query BM25 vector math was the warm-filtered hot spot
+            parts_s.append(c.weight * c.tp.unit_scores(k1, b, avgdl))
         alldocs = np.concatenate(parts_d)
         allsc = np.concatenate(parts_s)
         # flatnonzero(dense) == the matched-doc set only when every
@@ -2094,9 +2120,7 @@ class Searcher:
             idf = float(np.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)))
             w = boost * idf * (k1 + 1.0)
             idx = np.searchsorted(tp.all_docs, cand, side="left")
-            tf = tp.all_tfs[idx]
-            dl = tp.all_dls[idx]
-            scores += w * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores += w * tp.unit_scores(k1, b, avgdl)[idx]
         return cand, scores
 
     def _merge_parts(self, parts) -> tuple[np.ndarray, np.ndarray]:
@@ -2562,11 +2586,9 @@ class Searcher:
                 lo = c.gpos
                 hi = lo + int(np.searchsorted(
                     c.all_docs[lo:], range_end, side="left"))
-                tf = c.all_tfs[lo:hi]
-                dl = c.all_dls[lo:hi]
                 cand_docs.append(c.all_docs[lo:hi])
                 cand_scores.append(
-                    c.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                    c.weight * c.tp.unit_scores(k1, b, avgdl)[lo:hi])
             for c in part:
                 if c.cur < range_end:
                     c.next_geq(range_end)
@@ -2677,20 +2699,16 @@ class Searcher:
                     continue
                 if c is aligned:
                     lo = c.gpos - cand.size
-                    tf = c.all_tfs[lo:c.gpos]
-                    dl = c.all_dls[lo:c.gpos]
-                    scores += c.weight * tf / (
-                        tf + k1 * (1.0 - b + b * dl / avgdl))
+                    scores += c.weight * c.tp.unit_scores(
+                        k1, b, avgdl)[lo:c.gpos]
                     continue
                 idx = np.searchsorted(c.all_docs, cand, side="left")
                 idx_c = np.clip(idx, 0, c.total - 1)
                 m = c.all_docs[idx_c] == cand
                 if not m.any():
                     continue
-                tf = c.all_tfs[idx_c][m]
-                dl = c.all_dls[idx_c][m]
-                scores[m] += c.weight * tf / (
-                    tf + k1 * (1.0 - b + b * dl / avgdl))
+                scores[m] += c.weight * c.tp.unit_scores(
+                    k1, b, avgdl)[idx_c][m]
             if len(heap) >= k:
                 keep = scores >= heap[0][0]
                 cand, scores = cand[keep], scores[keep]
@@ -2737,8 +2755,6 @@ class Searcher:
         # fixed summation order (the caller's sorted-term cursor list)
         for c in cursors:
             idx = np.searchsorted(c.all_docs, cand, side="left")
-            tf = c.all_tfs[idx]
-            dl = c.all_dls[idx]
-            scores += c.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores += c.weight * c.tp.unit_scores(k1, b, avgdl)[idx]
         order = np.lexsort((cand, -scores))[:k]
         return [(float(scores[i]), int(cand[i])) for i in order]
