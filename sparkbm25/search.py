@@ -1807,11 +1807,26 @@ class Searcher:
             return
         attrs = self._attr_cols()
         blocks = sorted({o // self.cfg.doc_block_size for o in need})
-        rows = (
-            self._forward_docs()
-            .where(F.col("doc_block").isin(blocks))
-            .where(F.col("doc_ord").isin(need))
-            .select("doc_ord", "conv_id", "turn_idx", *attrs).collect())
+        base = (self._forward_docs()
+                .where(F.col("doc_block").isin(blocks)))
+        if len(need) <= 256:
+            base = base.where(F.col("doc_ord").isin(need))
+        else:
+            # thousands of isin literals cost more to ship over py4j
+            # and analyze than the scan itself (a late probe round
+            # probes 8192 ords; profiled ~2 s/round on the ts-range
+            # shape). Ship the ord set as ONE Arrow batch and
+            # broadcast-hash-join instead; keep min/max bounds as a
+            # pushable residual so parquet row groups still prune.
+            need_arr = np.asarray(need, dtype=np.int64)
+            need_df = self.spark.createDataFrame(
+                pd.DataFrame({"doc_ord": need_arr}))
+            base = (base
+                    .where((F.col("doc_ord") >= int(need_arr.min()))
+                           & (F.col("doc_ord") <= int(need_arr.max())))
+                    .join(F.broadcast(need_df), "doc_ord"))
+        rows = base.select("doc_ord", "conv_id", "turn_idx",
+                           *attrs).collect()
         for r in rows:
             self._cache_doc(int(r["doc_ord"]),
                             (r["conv_id"], int(r["turn_idx"]),
@@ -2044,27 +2059,54 @@ class Searcher:
         pos = 0
         chunk = max(128, 4 * k)
         head = ordered_head(chunk)
+        bulk_done = False
+        bulk_limit = n_cand
         while pos < n_cand and len(survivors) < k:
-            if pos >= self._PROBE_CAP:
+            if pos >= self._PROBE_CAP or pos >= bulk_limit:
                 return None     # filter too selective for driver probing
             if pos + chunk > head.size and head.size < n_cand:
                 head = ordered_head(min(max(pos + chunk, 4 * head.size),
                                         n_cand))
-            idx = head[pos:pos + chunk]
+            # never walk past the bulk-resolved prefix: an ord beyond
+            # it is uncached-but-unresolved, not rejected
+            idx = head[pos:min(pos + chunk, bulk_limit)]
             ords = [int(o) for o in cand[idx].tolist()]
             sc = scores[idx].tolist()
             pos += len(ords)
-            self._fetch_doc_rows(ords)
+            if not bulk_done:
+                self._fetch_doc_rows(ords)
             for o, s in zip(ords, sc):
                 ent = self._doc_cache.get(o)
                 if ent is None:
-                    continue     # ord absent from the forward table
+                    # absent from the forward table — or, after the
+                    # bulk round, rejected by the Catalyst filter
+                    continue
                 row = {"conv_id": ent[0], "turn_idx": ent[1], **ent[2]}
                 if pred(row):
                     survivors.append((float(s), o, ent[0], ent[1]))
                     if len(survivors) == k:
                         break
-            chunk = min(chunk * 4, self._PROBE_CHUNK_MAX)
+            if (not bulk_done and len(survivors) < k and pos < n_cand):
+                # round 1 missed: the filter rejects the score head
+                # (adversarial filter-score correlation — profiled: a
+                # mid-day ts range vs hot-term scores paid one Spark
+                # collect per 4x-growing round, five sequential jobs
+                # at 960k docs and worse at scale). Fetch the ENTIRE
+                # remaining probe budget (bounded by _PROBE_CAP, under
+                # the doc-cache capacity) with ONE broadcast-join job;
+                # the python predicate stays the sole filter arbiter
+                # over the cached rows, and a warm repeat finds every
+                # row cached and runs ZERO jobs.
+                m = int(min(self._PROBE_CAP, n_cand))
+                if head.size < m:
+                    head = ordered_head(m)
+                self._fetch_doc_rows(
+                    [int(o) for o in cand[head[pos:m]].tolist()])
+                bulk_done = True
+                bulk_limit = m
+                chunk = self._PROBE_CHUNK_MAX
+            else:
+                chunk = min(chunk * 4, self._PROBE_CHUNK_MAX)
         self.last_path = "filtered"
         return pd.DataFrame({
             "rank": np.arange(1, len(survivors) + 1, dtype=np.int32),

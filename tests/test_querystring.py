@@ -689,3 +689,62 @@ def test_ts_filtered_search(spark, built):
                       "query_text": [f"ts:[{lo} TO {hi}] alpha"], "k": [10]})
     gb = search_batch(spark, d, q, k=10).toPandas().sort_values("rank")
     assert gb["conv_id"].tolist() == exp["conv_id"].tolist()
+
+
+def test_filtered_probe_bulk_resolution(spark, tmp_path):
+    """Adversarial filter-score correlation (round 5): when every doc
+    scores identically (one giant tie group, head = doc order) and the
+    filter accepts only the LAST docs in that order, the driver path
+    must resolve the whole remaining probe budget with ONE bulk fetch
+    instead of a Spark collect per growing round — and still return
+    exactly the batch path's answer."""
+    import pandas as pd
+
+    n = 3000
+    t = pd.DataFrame({
+        "conv_id": [f"c{i:06d}" for i in range(n)],
+        "turn_idx": np.zeros(n, dtype=np.int32),
+        "role": ["bot"] * (n - 20) + ["user"] * 20,
+        "text": ["common alpha beta"] * n,
+    })
+    d = str(tmp_path / "bulkidx")
+    build_index(spark, spark.createDataFrame(t), d,
+                IndexConfig(n_build_chunks=1), input_desc="bulk")
+    s = Searcher(spark, d)
+
+    # spy: each _fetch_doc_rows call with uncached ords is one Spark
+    # collect. The cold probe must pay exactly round-1 + ONE bulk
+    # fetch (pre-round-5 this shape collected per 4x-growing round)
+    fetches = []
+    orig_fetch = s._fetch_doc_rows
+
+    def spy(ords):
+        uncached = sum(1 for o in ords if o not in s._doc_cache)
+        if uncached:
+            fetches.append(uncached)
+        return orig_fetch(ords)
+
+    s._fetch_doc_rows = spy
+    got = s.search("role:user common", k=10)
+    s._fetch_doc_rows = orig_fetch
+    assert s.last_path == "filtered"
+    # the 20 user docs sit at the tail of the tie group: doc-asc
+    # tie-break makes them the LAST 20 probed candidates
+    assert got["conv_id"].tolist() == [f"c{i:06d}" for i in
+                                       range(n - 20, n - 10)]
+    assert len(fetches) <= 2, f"expected round-1 + one bulk, got {fetches}"
+
+    # warm repeat: every probed row cached -> zero fetch collects
+    fetches.clear()
+    s._fetch_doc_rows = spy
+    got2 = s.search("role:user common", k=10)
+    s._fetch_doc_rows = orig_fetch
+    assert got2["conv_id"].tolist() == got["conv_id"].tolist()
+    assert fetches == [], f"warm repeat fetched {fetches}"
+
+    q = pd.DataFrame({"query_id": [0], "query_text": ["role:user common"],
+                      "k": [10]})
+    gb = search_batch(spark, d, q, k=10).toPandas().sort_values("rank")
+    assert gb["conv_id"].tolist() == got["conv_id"].tolist()
+    np.testing.assert_allclose(gb["score"].astype(float),
+                               got["score"].astype(float), rtol=1e-9)
