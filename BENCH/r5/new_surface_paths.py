@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..")))
 
-N_TURNS = 960_000
+N_TURNS = int(os.environ.get("NSP_TURNS", "960000"))
 
 
 def main():
@@ -100,8 +100,9 @@ def main():
     spark.stop()
     shutil.rmtree(shm, ignore_errors=True)
     print(json.dumps(out))
+    suffix = "" if N_TURNS == 960000 else f"_{N_TURNS}"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "new_surface_paths.json"), "w") as f:
+                           f"new_surface_paths{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
