@@ -2097,6 +2097,72 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_bm25_regexp_lucene(spark, sf_dir):
+    """LUCENE-dialect regexp constructs (round 5, lucenere.py):
+    `/"sc"\\an@/` — a quoted literal run, a backslash-escaped letter
+    (literal `a`, never a class), and the `@` any-string operator —
+    together match every term starting with `scan`. The engine
+    translates the Lucene dialect to a portable regex before the JVM
+    sees it; the SQL twin states the equivalent RE2 pattern
+    `^(?:scan.*)$` directly."""
+    return _bm25_query_df(spark, sf_dir, '/"sc"\\an@/')
+
+
+SQL_BM25_REGEXP_LUCENE = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(coalesce(dl.dl,0)) * 1.0 / (SELECT count(*) FROM documents)
+          FROM documents LEFT JOIN dl USING (doc_id)) AS avgdl
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks2
+       WHERE regexp_matches(term, '^(?:scan.*)$')
+       GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_bm25_escaped(spark, sf_dir):
+    """Lucene backslash escaping end-to-end (round 5): escaped
+    LETTERS are no-ops (`spar\\k` is the term spark, `role:e\\n` the
+    equality en) so the query answers EXACTLY like the unescaped
+    `role:en spark join` — the SQL twin IS SQL_BM25_FILTERED. The
+    escaped-operator shapes (`\\*` `\\:` `\\-` `\\"` `\\ `) are
+    pinned by tests/test_querystring.py escape tests; this entry
+    keeps the whole escape pipeline (preprocessor -> lexer -> parser
+    -> filter compile) on the DuckDB-checked path."""
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": [0],
+         "query_text": ["role:e\\n spar\\k joi\\n"],
+         "k": [TOPK]})
+    out = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
 _AUTOC_CACHE: dict[str, str] = {}
 
 
@@ -2513,6 +2579,8 @@ QUERIES = {
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_wildcard": (q_bm25_wildcard, SQL_BM25_WILDCARD),
     "bm25_regexp": (q_bm25_regexp, SQL_BM25_REGEXP),
+    "bm25_regexp_lucene": (q_bm25_regexp_lucene, SQL_BM25_REGEXP_LUCENE),
+    "bm25_escaped": (q_bm25_escaped, SQL_BM25_FILTERED),
     "bm25_range_filter": (q_bm25_range_filter, SQL_BM25_RANGE_FILTER),
     "bm25_required": (q_bm25_required, SQL_BM25_REQUIRED),
     "bm25_field_group": (q_bm25_field_group, SQL_BM25_FIELD_GROUP),
@@ -2558,7 +2626,7 @@ QUERIES = {
 # silently dropped the tail (VERDICT r3 item 6). queries()/oracle_sql()
 # therefore expose exactly 50 entries — every reference-surface and
 # scale-path operator stays in the driver-checked window, and the
-# SIXTEEN entries below, whose coverage is redundant with other
+# EIGHTEEN entries below, whose coverage is redundant with other
 # checked entries (generic TPC-H-ish shapes, trivial derivations, and
 # constituent stages of checked entries), are verified by the local
 # parametrized replica (tests/test_oracle_suite.py runs the FULL
@@ -2594,6 +2662,18 @@ EXCLUDED_FROM_DRIVER = (
                                  # checked bm25_wildcard; the regexp-
                                  # specific compile is replica-checked
                                  # against DuckDB regexp_matches
+    "bm25_regexp_lucene",        # Lucene-DIALECT constructs (quoted
+                                 # literal, escaped letter, @) through
+                                 # the same expansion path as
+                                 # bm25_regexp; replica-checked, and
+                                 # the three-dialect translator parity
+                                 # is pinned by tests/test_lucenere.py
+    "bm25_escaped",              # escaped letters are no-ops, so the
+                                 # execution path IS the driver-
+                                 # checked bm25_filtered; the escape
+                                 # preprocessor itself is replica-
+                                 # checked + pinned by the escape
+                                 # test battery
     "lang_alpha_map",            # static dictionary projection; P5 is
                                  # pytest-parametrized over the full
                                  # ISO table and lang_id keeps the

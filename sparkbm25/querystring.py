@@ -29,7 +29,16 @@ reference user actually writes:
                            term dictionary, scoring_boolean rewrite
                            like prefix/wildcard. Patterns are NOT
                            analyzed (Lucene semantics); `\/` escapes a
-                           literal slash
+                           literal slash. Patterns are read in the
+                           LUCENE RegExp dialect and compiled through
+                           lucenere.to_portable at every evaluation
+                           site (late round 5): `\d` is the literal
+                           letter d, `^`/`$` are literal chars, `.`
+                           spans newlines, `@`/`#`/quoted runs are
+                           operators, and `~`/`&`/`<n-m>` raise at
+                           parse time — previously the raw pattern
+                           fed Java/Python regex engines, whose
+                           dialect silently disagrees on all of these
     field:[A TO B]         inclusive range, `*` = open bound
                            (Lucene range syntax)
     field:{A TO B}         EXCLUSIVE range (round 5; either bracket may
@@ -120,6 +129,26 @@ reference user actually writes:
                            the `~N` suffix as a scoring TERM
                            (VERDICT r4 item 1b)
     ( ... )                grouping
+    \\X                    backslash ESCAPE (round 5): the next char
+                           is literal, never an operator — the
+                           documented Lucene escaping for the
+                           reserved set + - && || ! ( ) { } [ ] ^ "
+                           ~ * ? : \\ / (and Lucene extends it to any
+                           char). `spark\\*` is the TERM spark (the
+                           escaped star is punctuation to the
+                           analyzer, exactly ES's behavior),
+                           `foo\\:bar` is not a field query (the
+                           token analyzes to foo AND bar),
+                           `role:us\\*er` compares equality against
+                           the literal value `us*er`, `\\-x` is not a
+                           negation, `\\AND` is the term `and`, and
+                           `role:agent\\ smith` keeps the space in
+                           the value. Escapes inside `/regexp/`
+                           bodies stay RAW (the regexp has its own
+                           escape language). A trailing lone
+                           backslash raises. Round 4 had no escape
+                           handling at all: every escaped operator
+                           silently acted as the operator
     bare terms             full-text BM25 terms; adjacent clauses with
                            no explicit operator keep the engine's
                            legacy mode semantics ('or' = should-match,
@@ -339,8 +368,108 @@ class ParsedQuery:
         return bool(self.filters) or bool(self.neg_filters)
 
 
+# ---------------------------------------------------------------------------
+# Backslash escaping (Lucene query_string `\X`)
+# ---------------------------------------------------------------------------
+# An escaped NON-alphanumeric char becomes a private-use SENTINEL
+# (U+E000 + codepoint): the lexer and every leaf regex treat it as an
+# ordinary non-operator char, the analyzer treats it as punctuation
+# (exactly what ES's standard analyzer does to escaped punctuation),
+# and the structured-predicate compilers unescape it back to the
+# literal at the last moment. An escaped ALPHANUMERIC is a no-op in
+# Lucene (letters are never operator CHARS) except that it blocks
+# operator-WORD recognition (`\AND` is the term `and`), so it keeps
+# its char prefixed by a MARKER that the parser strips right after
+# the operator-word checks. Raw PUA chars in the input are stripped
+# up front so crafted input can never smuggle an "unescape" the user
+# didn't type.
+_ESC_MARKER = "\ue100"
+_SENTINEL_RE = re.compile("[\ue000-\ue100]")
+# a `/` starts a regexp body only at a leaf position: nothing yet in
+# the current word-run, or just an occur prefix and/or `field:`
+_LEAF_PREFIX_RE = re.compile(r"^[-+!]?(?:[A-Za-z_][A-Za-z0-9_]*:)?$")
+
+
+def _esc_char(ch: str) -> str:
+    if ch.isalnum():
+        return _ESC_MARKER + ch
+    if ord(ch) < 0x100:
+        return chr(0xE000 + ord(ch))
+    return ch          # escaped exotic char: literal, never an operator
+
+
+def _unescape(s: str) -> str:
+    """Sentinels -> the literal chars the user escaped (markers just
+    drop). Applied by the predicate compilers to filter VALUES; text
+    paths never need it (the analyzer discards sentinels as
+    punctuation)."""
+    return _SENTINEL_RE.sub(
+        lambda m: ("" if m.group(0) == _ESC_MARKER
+                   else chr(ord(m.group(0)) - 0xE000)), s)
+
+
+def _substitute_escapes(q: str) -> str:
+    """Resolve `\\X` escapes before lexing. Tracks three contexts:
+    NORMAL (substitute), a quoted phrase (substitute — `\\"` must not
+    close it), and a `/regexp/` body (escapes stay RAW: the regexp
+    dialect owns them, lucenere.to_portable resolves them)."""
+    q = _SENTINEL_RE.sub("", q or "")
+    out: list[str] = []
+    buf: list[str] = []      # current word-run (regexp-start detection)
+    state = 0                # 0 normal, 1 quoted, 2 regexp body
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if state == 2:
+            out.append(ch)
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(q[i + 1])
+                buf.append(q[i + 1])
+                i += 2
+                continue
+            if ch == "/":
+                state = 0
+            i += 1
+            continue
+        if ch == "\\":
+            if i + 1 >= n:
+                raise ValueError(
+                    "dangling backslash escape at end of query")
+            out.append(_esc_char(q[i + 1]))
+            buf.append("x")          # placeholder: run is no longer empty
+            i += 2
+            continue
+        if state == 1:
+            out.append(ch)
+            if ch == '"':
+                state = 0
+                buf.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            state = 1
+            out.append(ch)
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "/" and _LEAF_PREFIX_RE.match("".join(buf)):
+            state = 2
+            out.append(ch)
+            buf.append(ch)
+            i += 1
+            continue
+        out.append(ch)
+        if ch.isspace() or ch in "()":
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _lex(q: str) -> list[str]:
-    return _TOKEN_RE.findall(q or "")
+    return _TOKEN_RE.findall(_substitute_escapes(q))
 
 
 class _Parser:
@@ -457,6 +586,14 @@ class _Parser:
             # error — never quietly score the operator word as a term
             raise ValueError(
                 f"dangling boolean operator {t!r}: expected a clause")
+        if _ESC_MARKER in t:
+            # escaped-alphanumeric markers have done their job (the
+            # operator-word / occur-prefix checks above and in unary()
+            # saw the marked token and fell through — `\AND` is a
+            # term, `\-x` was sentinel-ized); an escaped letter is
+            # otherwise a no-op in Lucene, so the leaf parses from
+            # the clean text (`\te*t` IS the wildcard te*t)
+            t = t.replace(_ESC_MARKER, "")
         if t == "(":
             self.explicit = True
             node = self.or_expr()
@@ -556,9 +693,18 @@ class _Parser:
             # prefix/wildcard). The pattern is NOT analyzed — Lucene
             # never analyzes regexps — so uppercase literals never
             # match the lowercased dictionary, exactly like Lucene
-            # without the case_insensitive flag.
+            # without the case_insensitive flag. The AST keeps the
+            # LUCENE-dialect pattern; every evaluation site compiles
+            # it through lucenere.to_portable (round 5: the raw
+            # pattern fed Java/Python regex engines, whose dialect
+            # silently disagrees with Lucene on `\d`, `^`/`$`, `.`
+            # vs newline, and the ~ & <n-m> @ # operators) —
+            # validated here so a bad pattern fails at PARSE time.
+            from sparkbm25.lucenere import to_portable
+            pat = rm.group(1).replace("\\/", "/")
+            to_portable(pat)        # raises on unsupported operators
             self.explicit = True
-            return Regexp(rm.group(1).replace("\\/", "/"), boost)
+            return Regexp(pat, boost)
         pm = _PREFIX_RE.match(t)
         if pm:
             # `spar*` — Lucene prefix query: expands against the term
@@ -784,12 +930,17 @@ ALWAYS_PRESENT_FIELDS = {"conv_id", "turn_idx", "text"}
 def _like_pattern(val: str) -> str:
     """Lucene wildcard value (`*` = any run, `?` = one char) -> a SQL
     LIKE pattern with the default `\\` escape: literal `%`/`_`/`\\`
-    escape, `*` -> `%`, `?` -> `_`. The LIKE form keeps the predicate
-    JVM-side (StringType Like, whole-stage codegen) instead of an
-    rlike regex compile per row batch."""
+    escape, `*` -> `%`, `?` -> `_`. Escape SENTINELS (`role:u\\*s?r`
+    — the starred char was backslash-escaped) unescape to their
+    literal char here, never to a wildcard. The LIKE form keeps the
+    predicate JVM-side (StringType Like, whole-stage codegen) instead
+    of an rlike regex compile per row batch."""
     out = []
     for ch in val:
-        if ch == "*":
+        if "\ue000" <= ch <= "\ue100":
+            ch = _unescape(ch)
+            out.append("\\" + ch if ch in ("%", "_", "\\") else ch)
+        elif ch == "*":
             out.append("%")
         elif ch == "?":
             out.append("_")
@@ -836,6 +987,7 @@ def _one_predicate(fld: str, val: str) -> Column:
     col = F.col(fld)
 
     def bound(v):
+        v = _unescape(v)     # `role:us\*er` compares the literal us*er
         if fld in NUMERIC_FILTER_FIELDS:
             try:
                 return F.lit(int(v))
@@ -873,12 +1025,16 @@ def _one_predicate(fld: str, val: str) -> Column:
     if rm:
         # Lucene regexp on a keyword field (`role:/us.r/`): anchored
         # full-value match (Lucene regexps are implicitly anchored;
-        # Spark rlike is a substring search, hence the ^(?:)$ wrap)
+        # Spark rlike is a substring search, hence the ^(?:)$ wrap).
+        # The pattern compiles through the Lucene-dialect translator
+        # so `\d`/`^`/`$`/`.` keep Lucene semantics in the JVM regex.
         if fld in NUMERIC_FILTER_FIELDS | TIMESTAMP_FILTER_FIELDS:
             raise ValueError(
                 f"field {fld!r} is not a keyword field: regexp value "
                 f"{val!r} is not supported (use a range)")
-        return col.rlike("^(?:" + rm.group(1).replace("\\/", "/") + ")$")
+        from sparkbm25.lucenere import to_portable
+        return col.rlike(
+            "^(?:" + to_portable(rm.group(1).replace("\\/", "/")) + ")$")
     if "*" in val or "?" in val:
         if fld in NUMERIC_FILTER_FIELDS | TIMESTAMP_FILTER_FIELDS:
             raise ValueError(
@@ -887,7 +1043,7 @@ def _one_predicate(fld: str, val: str) -> Column:
         if val.endswith("*") and "?" not in val and "*" not in val[:-1]:
             # pure trailing-star: StartsWith pushes to the parquet scan
             # (min/max row-group pruning), LIKE '%' does not
-            return col.startswith(val[:-1])
+            return col.startswith(_unescape(val[:-1]))
         return col.like(_like_pattern(val))
     return col == bound(val)
 
@@ -921,6 +1077,7 @@ def python_filter(filters: list[tuple[str, str]],
             return lambda row, v=val: row.get(v) is not None
 
         def coerce(v: str):
+            v = _unescape(v)     # twin of _one_predicate's bound()
             if numeric:
                 try:
                     return int(v)
@@ -977,7 +1134,8 @@ def python_filter(filters: list[tuple[str, str]],
                 raise ValueError(
                     f"field {fld!r} is not a keyword field: regexp "
                     f"value {val!r} is not supported (use a range)")
-            rrx = re.compile(m.group(1).replace("\\/", "/"))
+            from sparkbm25.lucenere import to_portable
+            rrx = re.compile(to_portable(m.group(1).replace("\\/", "/")))
 
             def rex(row):
                 cur = row.get(fld)
@@ -992,7 +1150,7 @@ def python_filter(filters: list[tuple[str, str]],
                     f"field {fld!r} is not a keyword field: wildcard "
                     f"value {val!r} is not supported (use a range)")
             if val.endswith("*") and "?" not in val and "*" not in val[:-1]:
-                pfx = val[:-1]
+                pfx = _unescape(val[:-1])
 
                 def swith(row):
                     cur = row.get(fld)
@@ -1002,9 +1160,13 @@ def python_filter(filters: list[tuple[str, str]],
 
                 return swith
             # general wildcard: regex twin of the Catalyst LIKE
-            # (re.S so `?`/`.` spans newlines exactly like LIKE `_`)
+            # (re.S so `?`/`.` spans newlines exactly like LIKE `_`;
+            # escape sentinels unescape to LITERAL chars, twin of
+            # _like_pattern)
             rx = re.compile("".join(
-                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                re.escape(_unescape(ch)) if "\ue000" <= ch <= "\ue100"
+                else ".*" if ch == "*" else "." if ch == "?"
+                else re.escape(ch)
                 for ch in val), re.S)
 
             def wld(row):

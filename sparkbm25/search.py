@@ -450,7 +450,11 @@ def _regexp_literal_prefix(pat: str) -> str:
     (`ab*` — the `b` is optional) is not part of the prefix."""
     out = []
     i = 0
-    metas = set(".?*+()[]{}|\\^$")
+    # Lucene-dialect metacharacters (the pattern is stored in the
+    # Lucene dialect): the regex set plus the Lucene operators
+    # `@ # < > ~ &` and the quoted-literal `"` — stopping at any of
+    # them keeps the band a true lower bound on every match
+    metas = set('.?*+()[]{}|\\^$@#<>~&"')
     while i < len(pat):
         ch = pat[i]
         if ch in metas:
@@ -557,8 +561,13 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
         # Lucene regexp: anchored full-term match (rlike is a substring
         # search, hence the wrap); banded by the pattern's literal head
         # when it has one — a prefix-less regexp scans the dictionary,
-        # the cost Lucene documents for such patterns
-        cond = F.col("term").rlike("^(?:" + rx + ")$")
+        # the cost Lucene documents for such patterns. The pattern is
+        # stored in the LUCENE dialect and compiles through
+        # lucenere.to_portable so the JVM regex engine keeps Lucene
+        # semantics (`\d` literal, `^`/`$` literal, `.` spans all,
+        # `@`/`#` operators)
+        from sparkbm25.lucenere import to_portable
+        cond = F.col("term").rlike("^(?:" + to_portable(rx) + ")$")
         pref = _regexp_literal_prefix(rx)
         if pref:
             cond = (F.col("term") >= F.lit(pref)) & cond

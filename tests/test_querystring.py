@@ -748,3 +748,126 @@ def test_filtered_probe_bulk_resolution(spark, tmp_path):
     assert gb["conv_id"].tolist() == got["conv_id"].tolist()
     np.testing.assert_allclose(gb["score"].astype(float),
                                got["score"].astype(float), rtol=1e-9)
+
+
+def test_escape_parse_shapes():
+    """Lucene backslash escaping (round 5): `\\X` makes X literal —
+    never an operator. Round 4 had no escape handling: every escaped
+    operator silently ACTED as the operator (the silent-misparse
+    class the grammar bans)."""
+    from sparkbm25.querystring import (And, Phrase, Regexp, Term,
+                                       Wildcard)
+
+    # escaped star: the TERM spark, not a prefix query
+    p = parse_query_string(r'spark\*')
+    assert isinstance(p.tree, Term) and p.tree.text == 'spark'
+    # escaped colon: not a field query; the token analyzes to parts
+    p = parse_query_string(r'foo\:bar')
+    assert isinstance(p.tree, And)
+    assert [c.text for c in p.tree.children] == ['foo', 'bar']
+    # escaped minus: not a negation
+    p = parse_query_string(r'\-spark')
+    assert isinstance(p.tree, Term) and p.tree.text == 'spark'
+    # escaped operator WORD: `\AND` is the term `and`
+    p = parse_query_string(r'a \AND b')
+    assert isinstance(p.tree, And)
+    assert [c.text for c in p.tree.children] == ['a', 'and', 'b']
+    # escaped quotes: no phrase
+    p = parse_query_string(r'\"ab cd\"')
+    pos = [c.text for c in p.tree.children]
+    assert pos == ['ab', 'cd'] and not any(
+        isinstance(c, Phrase) for c in p.tree.children)
+    # escaped quote INSIDE a phrase does not close it
+    p = parse_query_string(r'"a \"quoted\" b"')
+    assert isinstance(p.tree, Phrase)
+    assert p.tree.terms == ['a', 'quoted', 'b']
+    # escaping a letter is a no-op: `\te*t` IS the wildcard te*t...
+    p = parse_query_string(r'\te*t')
+    assert isinstance(p.tree, Wildcard) and p.tree.pattern == 'te*t'
+    # ...but escaping the STAR kills the wildcard (analyzed split)
+    p = parse_query_string(r'te\*t')
+    assert isinstance(p.tree, And)
+    assert [c.text for c in p.tree.children] == ['te', 't']
+    # escapes inside a /regexp/ body stay RAW (the regexp dialect
+    # owns them): `\/` is still the literal-slash escape
+    p = parse_query_string(r'/a\/b/ spark')
+    assert isinstance(p.tree.children[0], Regexp)
+    assert p.tree.children[0].pattern == 'a/b'
+    # a lone trailing backslash raises (never silently dropped)
+    with pytest.raises(ValueError, match="dangling backslash"):
+        parse_query_string('spark\\')
+
+
+def test_escape_filter_values(spark):
+    """Escaped chars in structured-predicate VALUES compare as
+    literals on both the Catalyst column and the python twin:
+    `role:us\\*er` is equality against `us*er`, `\\ ` keeps a space
+    in the value, and an escaped star inside a wildcard value stays
+    literal while the unescaped one still expands."""
+    from sparkbm25.querystring import filter_condition, python_filter
+
+    rows = [("c1", 0, "us*er", "a b"), ("c1", 1, "usXer", "ab"),
+            ("c2", 0, "user", "a*b"), ("c2", 1, "us?er", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+
+    def both(filters, neg=()):
+        got = df.where(filter_condition(filters, neg)).count()
+        pf = python_filter(filters, neg)
+        py = sum(1 for r in rows if pf(
+            dict(zip(("conv_id", "turn_idx", "role", "tool"), r))))
+        assert got == py, (filters, neg, got, py)
+        return got
+
+    def f(q):
+        return parse_query_string(q).filters
+
+    assert both(f(r'role:us\*er')) == 1           # literal * equality
+    assert both(f(r'role:us\?er')) == 1           # literal ? equality
+    assert both(f(r'tool:a\ b')) == 1             # escaped space
+    assert both(f(r'role:us\*er*')) == 1          # literal * + prefix
+    assert both(f(r'role:us\**')) == 1            # literal us* + any tail
+    assert both(f(r'tool:a\*?')) == 1             # literal *, one char
+    assert both(f(r'role:us*')) == 4              # unescaped: wildcard
+
+
+def test_escaped_query_end_to_end(spark, built):
+    """`spar\\k role:us\\er` ≡ `spark role:user` on both the driver
+    Searcher and the batch path (escaped letters are no-ops; the
+    escaped token still indexes/filters identically)."""
+    t, d = built
+    exp = _filtered_oracle(t, "w0005", lambda x: x["role"] == "user")
+    esc = "w0\\00\\5 role:us\\er"
+    s = Searcher(spark, d)
+    got = s.search(esc, k=10)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    np.testing.assert_allclose(got["score"].astype(float),
+                               exp["score"].astype(float), rtol=1e-9)
+    q = pd.DataFrame({"query_id": [0], "query_text": [esc], "k": [10]})
+    gb = search_batch(spark, d, q, k=10).toPandas().sort_values("rank")
+    assert gb["conv_id"].tolist() == exp["conv_id"].tolist()
+
+
+def test_lucene_regexp_dialect_leaves(spark, built):
+    """Text regexp leaves evaluate with LUCENE dialect semantics:
+    `\\d` is the literal letter d (matches nothing in this corpus,
+    never the digit class that Java/Python would read), `@` is
+    any-string (`/w000@/` ≡ the w000* prefix query), and the
+    unsupported operators raise at PARSE time."""
+    t, d = built
+    s = Searcher(spark, d)
+    # /w000@/ == prefix w000* (any-string suffix)
+    got_rx = s.search("/w000@/", k=10)
+    got_px = s.search("w000*", k=10)
+    assert got_rx["conv_id"].tolist() == got_px["conv_id"].tolist()
+    np.testing.assert_allclose(got_rx["score"].astype(float),
+                               got_px["score"].astype(float), rtol=1e-12)
+    # Java/Python would read \d+ as digits and match w-number tails;
+    # Lucene reads the literal letters d+ -> zero hits in this vocab
+    q = pd.DataFrame({"query_id": [0], "query_text": [r"/w\d+/"],
+                      "k": [10]})
+    gb = search_batch(spark, d, q, k=10).toPandas()
+    assert len(gb) == 0
+    for bad in ("/a~b/ x", "/a&b/ x", "/<1-9>/ x"):
+        with pytest.raises(ValueError):
+            parse_query_string(bad)
