@@ -441,28 +441,90 @@ def _wildcard_parts(pat: str) -> tuple[str, str, int, int | None]:
     return like, prefix, min_len, exact_len
 
 
+def _has_toplevel_alt(pat: str, i: int = 0) -> bool:
+    """True when the pattern has a `|` OUTSIDE every group / class /
+    quoted run from position i on — a top-level alternation means NO
+    leading literal is required of every match, so any banding prefix
+    collected before it must be voided. Conservative on malformed
+    syntax (returns True -> full scan, always safe)."""
+    n = len(pat)
+    depth = 0
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == '"':
+            j = pat.find('"', i + 1)
+            if j < 0:
+                return True
+            i = j + 1
+            continue
+        if c == "[":
+            i += 1
+            if i < n and pat[i] == "^":
+                i += 1
+            if i < n and pat[i] == "]":
+                i += 1
+            while i < n and pat[i] != "]":
+                i += 2 if pat[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def _regexp_literal_prefix(pat: str) -> str:
-    """The longest leading LITERAL run of a regexp — the prefix every
-    match must start with, used to band the dictionary scan exactly
-    like a wildcard's literal head (Lucene extracts the same prefix
-    from its compiled automaton). Conservative: stops at the first
-    metacharacter, and a literal immediately followed by a quantifier
-    (`ab*` — the `b` is optional) is not part of the prefix."""
+    """The longest leading LITERAL run of a Lucene-dialect regexp —
+    the prefix every match must start with, used to band the
+    dictionary scan exactly like a wildcard's literal head (Lucene
+    extracts the same prefix from its compiled automaton).
+    Conservative: stops at the first metacharacter, and a literal
+    unit immediately followed by a quantifier (`ab*` — the `b` is
+    optional) is not part of the prefix. Walks THROUGH `\\X` escapes
+    and `"..."` quoted runs (both are literal units in the Lucene
+    dialect, round 5), and a TOP-LEVEL `|` anywhere voids the whole
+    head — `/ab|cd/` requires no leading `ab` of its `cd` branch
+    (late round 5: the head was previously kept, so the band
+    silently dropped every match of the right alternative)."""
     out = []
     i = 0
-    # Lucene-dialect metacharacters (the pattern is stored in the
-    # Lucene dialect): the regex set plus the Lucene operators
-    # `@ # < > ~ &` and the quoted-literal `"` — stopping at any of
-    # them keeps the band a true lower bound on every match
-    metas = set('.?*+()[]{}|\\^$@#<>~&"')
-    while i < len(pat):
+    n = len(pat)
+    # Lucene-dialect metacharacters: the regex set plus the Lucene
+    # operators `@ # < > ~ &` — stopping at any of them keeps the
+    # band a true lower bound on every match
+    metas = set(".?*+()[]{}|^$@#<>~&")
+    while i < n:
         ch = pat[i]
-        if ch in metas:
+        if ch == "\\" and i + 1 < n:
+            if i + 2 < n and pat[i + 2] in "*?+{":
+                break                      # escaped literal quantified
+            out.append(pat[i + 1])
+            i += 2
+            continue
+        if ch == '"':
+            j = pat.find('"', i + 1)
+            if j < 0:
+                break                      # malformed: stop collecting
+            if j + 1 < n and pat[j + 1] in "*?+{":
+                break                      # whole quoted run quantified
+            out.append(pat[i + 1:j])
+            i = j + 1
+            continue
+        if ch in metas or ch == "\\":
             break
-        if i + 1 < len(pat) and pat[i + 1] in "*?+{":
+        if i + 1 < n and pat[i + 1] in "*?+{":
             break
         out.append(ch)
         i += 1
+    if _has_toplevel_alt(pat, i):
+        return ""
     return "".join(out)
 
 

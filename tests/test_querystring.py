@@ -617,7 +617,12 @@ def test_regexp_filter_predicate(spark):
 
 def test_regexp_expansion_banding():
     """_regexp_literal_prefix extracts the banding head Lucene gets
-    from its automaton: stops at metachars and quantified literals."""
+    from its automaton: stops at metachars and quantified literals,
+    walks through `\\X` escapes and `"..."` quoted runs (literal
+    units in the Lucene dialect), and a TOP-LEVEL alternation voids
+    the head entirely — `/ab|cd/` requires no `ab` of its right
+    branch (late round 5: the head was kept, silently dropping every
+    `cd` match from the banded scan)."""
     from sparkbm25.search import _regexp_literal_prefix as lp
 
     assert lp('spar[kq]') == 'spar'
@@ -626,6 +631,37 @@ def test_regexp_expansion_banding():
     assert lp('.*x') == ''         # no literal head -> full scan
     assert lp('join') == 'join'
     assert lp('te{2}') == 't'
+    # top-level alternation: NO required head
+    assert lp('ab|cd') == ''
+    assert lp('w0001|w0002') == ''
+    assert lp('ab(c)|d') == ''
+    # confined alternation keeps the head
+    assert lp('ab(c|d)') == 'ab'
+    assert lp('ab[x|y]') == 'ab'   # | literal inside a class
+    # Lucene-dialect literal units extend the head
+    assert lp('"sc"an@') == 'scan'
+    assert lp('\\ab') == 'ab'
+    assert lp('"ab"*x') == ''      # quantified quoted run drops whole
+    assert lp('a\\d*') == 'a'      # quantified escaped literal drops
+
+
+def test_regexp_toplevel_alternation(spark, built):
+    """`/w0001|w0002/` must return exactly the `w0001 OR w0002`
+    result on BOTH paths — the regression for the banding bug above
+    (the right alternative silently vanished from the banded
+    dictionary scan)."""
+    t, d = built
+    s = Searcher(spark, d)
+    rx = s.search("/w0001|w0002/", k=10)
+    orq = s.search("w0001 OR w0002", k=10)
+    assert rx["conv_id"].tolist() == orq["conv_id"].tolist()
+    assert len(rx) > 0
+    np.testing.assert_allclose(rx["score"].astype(float),
+                               orq["score"].astype(float), rtol=1e-12)
+    q = pd.DataFrame({"query_id": [0], "query_text": ["/w0001|w0002/"],
+                      "k": [10]})
+    gb = search_batch(spark, d, q, k=10).toPandas().sort_values("rank")
+    assert gb["conv_id"].tolist() == orq["conv_id"].tolist()
 
 
 def test_ts_filter_predicate(spark):
