@@ -28,7 +28,7 @@ from sparkbm25 import IndexConfig, build_index, search_batch
 from sparkbm25.analysis import tokenize_one
 from sparkbm25.fixtures import make_transcripts
 from sparkbm25.querystring import (And, Filter, Fuzzy, Not, Or, Phrase,
-                                   Prefix, Term, Wildcard,
+                                   Prefix, Regexp, Term, Wildcard,
                                    parse_query_string)
 from sparkbm25.search import _levenshtein
 
@@ -123,6 +123,16 @@ def _eval_leaf(doc, leaf, df_map, n, avgdl, vocab):
         hit = [t for t in exp if t in doc["tokset"]]
         return (bool(hit), leaf.boost * sum(
             _contrib(doc, t, df_map, n, avgdl) for t in hit))
+    if isinstance(leaf, Regexp):
+        # the generated patterns restrict to constructs whose python
+        # re reading equals the Lucene reading (literals, `|`, `.`,
+        # `.*`, classes) — independent of lucenere.to_portable, whose
+        # dialect translation is pinned by tests/test_lucenere.py
+        rx = re.compile(leaf.pattern)
+        exp = [t for t in vocab if rx.fullmatch(t)]
+        hit = [t for t in exp if t in doc["tokset"]]
+        return (bool(hit), leaf.boost * sum(
+            _contrib(doc, t, df_map, n, avgdl) for t in hit))
     raise TypeError(leaf)
 
 
@@ -131,7 +141,7 @@ def _eval_tree(doc, node, df_map, n, avgdl, vocab):
     doc matches anywhere in the tree (engine: disjunction-sum over
     matched positive leaves; NOT leaves never score)."""
     def accept(nd, neg=False):
-        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy, Wildcard)):
+        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy, Wildcard, Regexp)):
             return _eval_leaf(doc, nd, df_map, n, avgdl, vocab)[0]
         if isinstance(nd, Not):
             return not accept(nd.child, not neg)
@@ -142,7 +152,7 @@ def _eval_tree(doc, node, df_map, n, avgdl, vocab):
         raise TypeError(nd)
 
     def pos_score(nd, neg=False):
-        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy, Wildcard)):
+        if isinstance(nd, (Term, Phrase, Prefix, Fuzzy, Wildcard, Regexp)):
             if neg:
                 return 0.0
             m, s = _eval_leaf(doc, nd, df_map, n, avgdl, vocab)
@@ -309,6 +319,19 @@ def _gen_queries(rng, vocab):
         lambda: f"turn_idx:<{int(rng.integers(1, 5))} {w()}",
         lambda: f'-"{w()} {w()}" {w()}',
         lambda: f"text:({w()} OR {w()})",
+        # late round-5 grammar: regexp leaves (incl. the top-level
+        # alternation whose banding bug dropped the right branch) and
+        # backslash escapes (escaped letters are no-ops; escaped
+        # operators go literal and analyze away)
+        lambda: f"/{w()}|{w()}/",
+        lambda: f"/{w()}|{rare()}/ OR {w()}",
+        lambda: (lambda t: f"/{t[:4]}.*/")(wl()),
+        lambda: (lambda t: f"/{t[:4]}./ {w()}")(wl()),
+        lambda: f"role:{rng.choice(roles)} /{w()}|{w()}/",
+        lambda: (lambda t: f"{t[:2]}\\{t[2:]}")(w()),      # escaped letter
+        lambda: f"\\+{w()} {w()}",                          # escaped +
+        lambda: f"{w()}\\* OR {w()}",                       # escaped *
+        lambda: f"\\AND {w()}",                             # escaped word op
     ]
     return [shapes[int(rng.integers(0, len(shapes)))]() for _ in range(36)]
 
