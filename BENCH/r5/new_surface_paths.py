@@ -72,6 +72,15 @@ def main():
                     "w0001 w0005",
         "ts_one_sided": "ts:>=2026-01-01T12:00:00 w0001",
         "group_boost": "(w0001 w0005)^2 w0010",
+        # final round-5 grammar: top-level alternation (the banding
+        # fix — pre-fix this silently dropped the right branch),
+        # Lucene-dialect constructs (quoted head + escaped letter +
+        # any-string, banded by the extracted 'w000' head), and
+        # backslash escapes (escaped letters no-op; the escaped star
+        # analyzes away so this IS the term w0001 filtered)
+        "regexp_alternation": "/w0001|w0015/",
+        "regexp_dialect": '/"w0"0\\0[15]/',
+        "escaped_query": "w000\\1\\* role:us\\er",
     }
     out = {"n_turns": N_TURNS, "cpus": cpus,
            "build_seconds": round(build_s, 2), "queries": {}}

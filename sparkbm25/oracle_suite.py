@@ -798,6 +798,34 @@ ORDER BY doc_id ASC LIMIT {TOPK}
 """
 
 
+def q_bm25_match_all(spark, sf_dir):
+    """Lucene match_all `*:*` (late round 5): compiles to a constant-
+    TRUE predicate, so the filter-only machinery returns every doc at
+    ES's constant score 1.0 in doc order. Previously `*:*` analyzed
+    to nothing and the clause silently DROPPED (match-all became
+    match-none), and a bare `*` raised at the expansion cap."""
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": [0], "query_text": ["*:*"], "k": [TOPK]})
+    out = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
+SQL_BM25_MATCH_ALL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank,
+       CAST(1000000 AS BIGINT) AS score_micro
+FROM documents
+ORDER BY doc_id ASC LIMIT {TOPK}
+"""
+
+
 _INCR_CACHE: dict[str, str] = {}
 
 
@@ -2575,6 +2603,7 @@ QUERIES = {
     "bm25_ts_filter": (q_bm25_ts_filter, SQL_BM25_TS_FILTER),
     "bm25_filtered_driver": (q_bm25_filtered_driver, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
+    "bm25_match_all": (q_bm25_match_all, SQL_BM25_MATCH_ALL),
     "bm25_neg_filter": (q_bm25_neg_filter, SQL_BM25_NEG_FILTER),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_wildcard": (q_bm25_wildcard, SQL_BM25_WILDCARD),
@@ -2626,7 +2655,7 @@ QUERIES = {
 # silently dropped the tail (VERDICT r3 item 6). queries()/oracle_sql()
 # therefore expose exactly 50 entries — every reference-surface and
 # scale-path operator stays in the driver-checked window, and the
-# EIGHTEEN entries below, whose coverage is redundant with other
+# NINETEEN entries below, whose coverage is redundant with other
 # checked entries (generic TPC-H-ish shapes, trivial derivations, and
 # constituent stages of checked entries), are verified by the local
 # parametrized replica (tests/test_oracle_suite.py runs the FULL
@@ -2674,6 +2703,10 @@ EXCLUDED_FROM_DRIVER = (
                                  # preprocessor itself is replica-
                                  # checked + pinned by the escape
                                  # test battery
+    "bm25_match_all",            # `*:*` compiles to a constant-TRUE
+                                 # predicate: execution IS the driver-
+                                 # checked bm25_filter_only path with
+                                 # the filter folded away
     "lang_alpha_map",            # static dictionary projection; P5 is
                                  # pytest-parametrized over the full
                                  # ISO table and lang_id keeps the

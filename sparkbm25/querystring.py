@@ -630,6 +630,19 @@ class _Parser:
                 f"unknown field {dm.group(1)!r}: filter fields are "
                 f"{sorted(FILTER_FIELDS)}, full-text fields "
                 f"{sorted(TEXT_FIELDS)}")
+        if t in ("*", "*:*"):
+            # Lucene match_all: `*:*` is the canonical spelling (ES
+            # rewrites bare `*` to it too). Compiled as a constant-
+            # TRUE structured predicate, so the filter-only path
+            # returns doc-ordered candidates at constant score 1.0 —
+            # exactly ES match_all scoring. `text` is non-null by
+            # construction (ALWAYS_PRESENT_FIELDS), making the
+            # predicate a lit(True) with no forward-column read.
+            # Previously `*:*` analyzed to NOTHING and the clause
+            # silently DROPPED (match-all became match-none), and a
+            # bare `*` hit the wildcard expansion cap and raised.
+            self.explicit = True
+            return Filter("_exists_", "text")
         # optional trailing ^boost (Lucene clause boost) on any leaf
         boost = 1.0
         bm = _BOOST_RE.match(t)

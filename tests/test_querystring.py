@@ -907,3 +907,30 @@ def test_lucene_regexp_dialect_leaves(spark, built):
     for bad in ("/a~b/ x", "/a&b/ x", "/<1-9>/ x"):
         with pytest.raises(ValueError):
             parse_query_string(bad)
+
+
+def test_match_all(spark, built):
+    """Lucene match_all: `*:*` (and bare `*`) returns every doc at
+    constant score 1.0 in doc order on BOTH paths; previously `*:*`
+    silently dropped as an empty clause (match-all became match-none)
+    and `*` raised at the wildcard-expansion cap. Under NOT it
+    matches nothing; composed with a filter it reduces to the
+    filter."""
+    t, d = built
+    s = Searcher(spark, d)
+    got = s.search("*:*", k=10)
+    exp = (t.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+           .head(10))
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == [int(x) for x in exp["turn_idx"]]
+    assert (got["score"] == 1.0).all()
+    star = s.search("*", k=10)
+    assert star["conv_id"].tolist() == got["conv_id"].tolist()
+    q = pd.DataFrame({"query_id": [0], "query_text": ["*:*"], "k": [10]})
+    gb = search_batch(spark, d, q, k=10).toPandas().sort_values("rank")
+    assert gb["conv_id"].tolist() == got["conv_id"].tolist()
+    assert (gb["score"] == 1.0).all()
+    # composed: `*:* role:user` ≡ `role:user`
+    both = s.search("*:* role:user", k=10)
+    only = s.search("role:user", k=10)
+    assert both["conv_id"].tolist() == only["conv_id"].tolist()
