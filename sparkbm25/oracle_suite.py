@@ -770,6 +770,41 @@ SQL_BM25_TS_FILTER = _bm25_filtered_sql(
     BM25_TERMS, "", lang_pred="d.doc_id BETWEEN 100 AND 299")
 
 
+def q_bm25_date_math(spark, sf_dir):
+    """ES date math in ts bounds (late round 5): with the clock
+    pinned to 2026-01-01T00:05:00 (SPARKBM25_NOW — the reproducible-
+    query hook), `ts:[now-3m-20s TO now-1s]` resolves to the same
+    [00:01:40, 00:04:59] bracket as the ISO-literal bm25_ts_filter,
+    i.e. doc_id 100..299 — which the DuckDB twin states directly.
+    Chains apply left-to-right; `/unit` rounding raises."""
+    import os
+
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": [0],
+         "query_text": ["ts:[now-3m-20s TO now-1s] " + " ".join(BM25_TERMS)],
+         "k": [TOPK]})
+    prev = os.environ.get("SPARKBM25_NOW")
+    os.environ["SPARKBM25_NOW"] = "2026-01-01T00:05:00"
+    try:
+        # bounds resolve to literals while search_batch assembles the
+        # plan — the returned DataFrame stays pinned after env restore
+        # (the replica test executes it with the pin removed)
+        out = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    finally:
+        if prev is None:
+            os.environ.pop("SPARKBM25_NOW", None)
+        else:
+            os.environ["SPARKBM25_NOW"] = prev
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+
+
 def q_bm25_filter_only(spark, sf_dir):
     """query_string with ONLY structured predicates and no full-text
     terms ('role:en' — the reference's primary documented usage,
@@ -2601,6 +2636,7 @@ QUERIES = {
     "bm25_wildcard_filter": (q_bm25_wildcard_filter,
                              SQL_BM25_WILDCARD_FILTER),
     "bm25_ts_filter": (q_bm25_ts_filter, SQL_BM25_TS_FILTER),
+    "bm25_date_math": (q_bm25_date_math, SQL_BM25_TS_FILTER),
     "bm25_filtered_driver": (q_bm25_filtered_driver, SQL_BM25_FILTERED),
     "bm25_filter_only": (q_bm25_filter_only, SQL_BM25_FILTER_ONLY),
     "bm25_match_all": (q_bm25_match_all, SQL_BM25_MATCH_ALL),
@@ -2655,7 +2691,7 @@ QUERIES = {
 # silently dropped the tail (VERDICT r3 item 6). queries()/oracle_sql()
 # therefore expose exactly 50 entries — every reference-surface and
 # scale-path operator stays in the driver-checked window, and the
-# NINETEEN entries below, whose coverage is redundant with other
+# TWENTY entries below, whose coverage is redundant with other
 # checked entries (generic TPC-H-ish shapes, trivial derivations, and
 # constituent stages of checked entries), are verified by the local
 # parametrized replica (tests/test_oracle_suite.py runs the FULL
@@ -2707,6 +2743,11 @@ EXCLUDED_FROM_DRIVER = (
                                  # predicate: execution IS the driver-
                                  # checked bm25_filter_only path with
                                  # the filter folded away
+    "bm25_date_math",            # now/anchor bounds resolve to the
+                                 # SAME literals as the driver-checked
+                                 # bm25_ts_filter bracket (shared SQL
+                                 # twin); resolution math is pinned by
+                                 # test_ts_date_math
     "lang_alpha_map",            # static dictionary projection; P5 is
                                  # pytest-parametrized over the full
                                  # ISO table and lang_id keeps the

@@ -12,7 +12,16 @@ reference user actually writes:
                            ints; ts bounds parse as ISO-8601 and
                            compare as timestamps, so `ts:[2026-01-01
                            TO 2026-02-01T12:00:00]` and `ts:>=...`
-                           work like ES date ranges)
+                           work like ES date ranges. ES DATE MATH
+                           (late round 5): `now-1d`, chained
+                           `now+1M-2h`, and anchors
+                           `2026-01-01||+1M` resolve at plan-compile
+                           time against a pinnable clock
+                           (SPARKBM25_NOW); month/year math clamps
+                           the day like ES; `/unit` rounding RAISES —
+                           its ES semantics are bound-side-dependent,
+                           and a naive rounding would silently move
+                           range edges)
     field:prefix*          prefix match on a filter field
     field:u?er  field:*nt  general Lucene wildcard on a filter field
                            (`*` any run, `?` one char), compiled to a
@@ -964,21 +973,114 @@ def _like_pattern(val: str) -> str:
     return "".join(out)
 
 
+# ES date math (late round 5): `now` with arithmetic chains and the
+# `<anchor>||<math>` form. Units are ES's: y M w d h/H m s. The `/unit`
+# ROUNDING form is rejected loudly (its ES semantics depend on which
+# side of the range the bound sits on — gt rounds up, gte rounds down
+# — a half-implementation would be the silent-wrong class this
+# grammar bans).
+_DATE_MATH_CHAIN_RE = re.compile(r"^(?:[+-]\d+[yMwdhHms])*$")
+_DATE_MATH_OP_RE = re.compile(r"([+-])(\d+)([yMwdhHms])")
+
+
+def _now_utc():
+    """The `now` anchor: naive UTC (the engine pins the Spark session
+    timezone to UTC, so naive-UTC literals compare identically on the
+    Catalyst and python twins). Pin SPARKBM25_NOW (ISO-8601) for
+    reproducible queries — the oracle entries and tests do."""
+    import os
+    from datetime import datetime, timezone
+
+    pin = os.environ.get("SPARKBM25_NOW")
+    if pin:
+        return datetime.fromisoformat(pin)
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def _add_months(dt, n: int):
+    """Calendar month arithmetic with ES's day clamping
+    (2026-01-31 +1M -> 2026-02-28)."""
+    import calendar
+
+    y = dt.year + (dt.month - 1 + n) // 12
+    m = (dt.month - 1 + n) % 12 + 1
+    return dt.replace(year=y, month=m,
+                      day=min(dt.day, calendar.monthrange(y, m)[1]))
+
+
+def _apply_date_math(dt, chain: str, fld: str, orig: str):
+    from datetime import timedelta
+
+    for sign, num, unit in _DATE_MATH_OP_RE.findall(chain):
+        n = int(num) * (1 if sign == "+" else -1)
+        if unit == "y":
+            dt = _add_months(dt, 12 * n)
+        elif unit == "M":
+            dt = _add_months(dt, n)
+        elif unit == "w":
+            dt = dt + timedelta(weeks=n)
+        elif unit == "d":
+            dt = dt + timedelta(days=n)
+        elif unit in ("h", "H"):
+            dt = dt + timedelta(hours=n)
+        elif unit == "m":
+            dt = dt + timedelta(minutes=n)
+        else:                                  # 's'
+            dt = dt + timedelta(seconds=n)
+    return dt
+
+
 def _parse_ts_bound(fld: str, v: str):
     """An ISO-8601 timestamp bound for a TIMESTAMP_FILTER_FIELD —
     validated in Python so a typo raises at parse time instead of a
     Catalyst NULL cast silently matching nothing. A datetime literal
     compiles to a Spark TimestampType literal; with the session
     timezone pinned to UTC (every entry point sets it) the comparison
-    is the naive-UTC compare the python_filter twin performs."""
+    is the naive-UTC compare the python_filter twin performs.
+
+    ES date math (late round 5): `now`, `now-1d`, `now+1M-2h` (chains
+    apply left to right, months/years clamp the day like ES), and the
+    anchor form `2026-01-01||+1M`. `/unit` rounding raises — its ES
+    semantics are bound-side-dependent and a naive rounding would
+    silently move range edges."""
     from datetime import datetime
 
+    def reject_rounding(s: str):
+        if "/" in s:
+            raise ValueError(
+                f"field {fld!r}: date-math rounding ('/unit') in {v!r} "
+                "is not supported (ES rounds gt up and gte down — "
+                "write the rounded instant explicitly)")
+
+    if v == "now" or v.startswith(("now+", "now-", "now/")):
+        reject_rounding(v)
+        chain = v[3:]
+        if not _DATE_MATH_CHAIN_RE.match(chain):
+            raise ValueError(
+                f"field {fld!r}: malformed date math {v!r} (expected "
+                "now[±N<y|M|w|d|h|m|s>]... )")
+        return _apply_date_math(_now_utc(), chain, fld, v)
+    if "||" in v:
+        anchor, _, chain = v.partition("||")
+        reject_rounding(chain)
+        if not _DATE_MATH_CHAIN_RE.match(chain):
+            raise ValueError(
+                f"field {fld!r}: malformed date math {v!r} (expected "
+                "<ISO-8601>||[±N<y|M|w|d|h|m|s>]... )")
+        try:
+            base = datetime.fromisoformat(anchor)
+        except ValueError:
+            raise ValueError(
+                f"field {fld!r}: bad date-math anchor in {v!r} "
+                "(expected ISO-8601 before '||')") from None
+        return _apply_date_math(base, chain, fld, v)
     try:
         return datetime.fromisoformat(v)
     except ValueError:
         raise ValueError(
             f"field {fld!r} expects an ISO-8601 timestamp "
-            f"(2026-01-01 or 2026-01-01T12:30:00), got {v!r}") from None
+            f"(2026-01-01 or 2026-01-01T12:30:00) or ES date math "
+            f"(now-1d, 2026-01-01||+1M), got {v!r}") from None
 
 
 def _one_predicate(fld: str, val: str) -> Column:

@@ -934,3 +934,50 @@ def test_match_all(spark, built):
     both = s.search("*:* role:user", k=10)
     only = s.search("role:user", k=10)
     assert both["conv_id"].tolist() == only["conv_id"].tolist()
+
+
+def test_ts_date_math(spark, monkeypatch):
+    """ES date math in ts bounds (late round 5): `now` arithmetic
+    chains and the `anchor||math` form resolve against a pinnable
+    clock (SPARKBM25_NOW) identically on the Catalyst and python
+    twins; month math clamps the day like ES; `/unit` rounding and
+    malformed chains raise instead of silently shifting bounds."""
+    from datetime import datetime
+
+    from sparkbm25.querystring import (_parse_ts_bound, filter_condition,
+                                       python_filter)
+
+    monkeypatch.setenv("SPARKBM25_NOW", "2026-01-02T00:00:00")
+    assert _parse_ts_bound("ts", "now") == datetime(2026, 1, 2)
+    assert _parse_ts_bound("ts", "now-1d") == datetime(2026, 1, 1)
+    assert _parse_ts_bound("ts", "now+1M-2h") == datetime(2026, 2, 1, 22)
+    # ES day clamping: 2026-01-31 +1M -> 2026-02-28
+    assert (_parse_ts_bound("ts", "2026-01-31||+1M")
+            == datetime(2026, 2, 28))
+    assert (_parse_ts_bound("ts", "2026-03-31||-1M")
+            == datetime(2026, 2, 28))
+    assert (_parse_ts_bound("ts", "2024-02-29||+1y")
+            == datetime(2025, 2, 28))
+    for bad in ("now/d", "now-1d/d", "2026-01-01||+1M/d",
+                "now-1x", "junk||+1d", "now-1"):
+        with pytest.raises(ValueError):
+            _parse_ts_bound("ts", bad)
+
+    rows = [("c1", 0, datetime(2026, 1, 1, h)) for h in (0, 6, 12, 18)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+
+    def both(filters, neg=()):
+        got = df.where(filter_condition(filters, neg)).count()
+        pf = python_filter(filters, neg)
+        py = sum(1 for r in rows if pf(
+            dict(zip(("conv_id", "turn_idx", "ts"), r))))
+        assert got == py, (filters, got, py)
+        return got
+
+    def f(q):
+        return parse_query_string(q).filters
+
+    assert both(f("ts:[now-1d TO now-15h]")) == 2      # 00:00, 06:00
+    assert both(f("ts:>=now-12h")) == 2                # 12:00, 18:00
+    assert both(f("ts:[2026-01-01T06:00:00||+6h TO *]")) == 2
+    assert both(f("ts:<now-1M")) == 0
