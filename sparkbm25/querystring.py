@@ -1,4 +1,4 @@
-"""query_string parsing: boolean structure, phrases, structured
+r"""query_string parsing: boolean structure, phrases, structured
 predicates, full-text terms.
 
 The reference hands Lucene query-string syntax straight to ES
@@ -138,20 +138,20 @@ reference user actually writes:
                            the `~N` suffix as a scoring TERM
                            (VERDICT r4 item 1b)
     ( ... )                grouping
-    \\X                    backslash ESCAPE (round 5): the next char
+    \X                    backslash ESCAPE (round 5): the next char
                            is literal, never an operator — the
                            documented Lucene escaping for the
                            reserved set + - && || ! ( ) { } [ ] ^ "
-                           ~ * ? : \\ / (and Lucene extends it to any
-                           char). `spark\\*` is the TERM spark (the
+                           ~ * ? : \ / (and Lucene extends it to any
+                           char). `spark\*` is the TERM spark (the
                            escaped star is punctuation to the
                            analyzer, exactly ES's behavior),
-                           `foo\\:bar` is not a field query (the
+                           `foo\:bar` is not a field query (the
                            token analyzes to foo AND bar),
-                           `role:us\\*er` compares equality against
-                           the literal value `us*er`, `\\-x` is not a
-                           negation, `\\AND` is the term `and`, and
-                           `role:agent\\ smith` keeps the space in
+                           `role:us\*er` compares equality against
+                           the literal value `us*er`, `\-x` is not a
+                           negation, `\AND` is the term `and`, and
+                           `role:agent\ smith` keeps the space in
                            the value. Escapes inside `/regexp/`
                            bodies stay RAW (the regexp has its own
                            escape language). A trailing lone
