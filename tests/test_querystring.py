@@ -981,3 +981,50 @@ def test_ts_date_math(spark, monkeypatch):
     assert both(f("ts:>=now-12h")) == 2                # 12:00, 18:00
     assert both(f("ts:[2026-01-01T06:00:00||+6h TO *]")) == 2
     assert both(f("ts:<now-1M")) == 0
+
+
+def test_escape_neutralization_property():
+    """Property (hypothesis): backslash-escaping EVERY character of an
+    arbitrary string neutralizes all operators — the parse never
+    raises, and the resulting tree contains only Term/And/Or nodes
+    over the analyzed alphanumeric runs (no filters, phrases,
+    wildcards, prefixes, fuzzies, regexps, negations). This is the
+    Lucene escaping contract stated as an invariant rather than
+    per-shape cases."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkbm25.querystring import (And, Or, Term, collect_leaves,
+                                       parse_query_string)
+
+    alphabet = st.characters(min_codepoint=32, max_codepoint=126)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=40))
+    def check(s):
+        escaped = "".join("\\" + ch for ch in s)
+        p = parse_query_string(escaped)
+        assert not p.filters and not p.neg_filters
+        expected = _re.findall("[a-z0-9]+", s.lower())
+        if p.tree is None:
+            assert expected == [] or not p.explicit and p.text == "", (
+                s, expected)
+            assert expected == []
+            return
+        pos, neg = collect_leaves(p.tree)
+        assert neg == []
+        assert all(isinstance(x, Term) for x in pos), (s, pos)
+        assert [x.text for x in pos] == expected, (s, pos)
+
+        def only_bool(n):
+            if isinstance(n, Term):
+                return True
+            if isinstance(n, (And, Or)):
+                return all(only_bool(c) for c in n.children)
+            return False
+
+        assert only_bool(p.tree), (s, p.tree)
+
+    check()
