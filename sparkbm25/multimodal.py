@@ -6,11 +6,13 @@ standard library alone (round 5 closed the last gated slot): AUDIO
 decodes PCM-WAV via stdlib wave (_wav_feature); VIDEO decodes
 uncompressed-DIB AVI containers via a stdlib struct RIFF walk
 (_parse_avi/_avi_feature, VERDICT r4 item 4); IMAGE decodes PNG via
-stdlib zlib+struct (_parse_png/_png_feature — full filter set
-None/Sub/Up/Average/Paeth per the public PNG spec, bit depth 8,
-color types gray/RGB/gray+alpha/RGBA, non-interlaced), upgrading to
-Pillow (_pil_feature) when installed for the wider format set
-(JPEG, interlaced/16-bit PNG, ...). The Spark-side contract is
+stdlib zlib+struct (_parse_png — full filter set None/Sub/Up/
+Average/Paeth per the public PNG spec, bit depth 8, color types
+gray/RGB/gray+alpha/RGBA, non-interlaced) and baseline JPEG via the
+stdlib struct+numpy codec (sparkbm25.jpeg — sequential DCT, Huffman,
+4:4:4/4:2:2/4:2:0, restart markers), upgrading to Pillow
+(_pil_feature) when installed for the wider format set (progressive
+JPEG, interlaced/16-bit PNG, ...). The Spark-side contract is
 identical in every mode and fully tested: schemas, Arrow batch
 shapes, UDF signatures, partition-size control. Swapping a
 fingerprint kernel for a learned encoder changes ONE function body,
@@ -28,7 +30,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 ASSET_SCHEMA = (
     "asset_id bigint, kind string, payload binary, "
@@ -417,14 +419,25 @@ def _to_rgb(arr: np.ndarray) -> np.ndarray:
     return np.repeat(arr[:, :, :1], 3, axis=2)
 
 
-def _png_feature(payload: bytes, dim: int) -> np.ndarray:
-    """Real image kernel, zero extra dependencies: decode PNG with the
-    stdlib codec, block-mean downsample to a fixed side×side grid, and
-    emit normalized per-cell RGB means — the same deterministic visual
-    fingerprint contract as _pil_feature (Pillow's resampling differs
-    numerically, so the two kernels are separate, documented slots)."""
+def _parse_image(payload: bytes) -> np.ndarray:
+    """Sniff the container by magic bytes and decode with the
+    matching stdlib codec: PNG (zlib+struct, above) or baseline JPEG
+    (sparkbm25.jpeg — round 5). Returns (H, W, C) uint8; raises
+    ValueError for anything else."""
+    if payload[:8] == _PNG_SIG:
+        return _parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from sparkbm25.jpeg import parse_jpeg
+
+        return parse_jpeg(payload)
+    raise ValueError("unsupported image container (PNG/JPEG)")
+
+
+def _grid_feature(arr: np.ndarray, dim: int) -> np.ndarray:
+    """Block-mean downsample (H, W, C) pixels to a fixed side×side
+    grid and emit normalized per-cell RGB means."""
     side = max(int(np.sqrt(dim // 3)) or 1, 1)
-    rgb = _to_rgb(_parse_png(payload)).astype(np.float64)
+    rgb = _to_rgb(arr).astype(np.float64)
     h, w = rgb.shape[:2]
     rbin = (np.arange(h) * side) // h
     cbin = (np.arange(w) * side) // w
@@ -439,10 +452,26 @@ def _png_feature(payload: bytes, dim: int) -> np.ndarray:
     return vec[:dim].astype(np.float32)
 
 
-def _png_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize kernel without Pillow: stdlib PNG decode,
+def _png_feature(payload: bytes, dim: int) -> np.ndarray:
+    """PNG-only fingerprint (kept for direct use/tests); the
+    dispatching kernel is _image_feature."""
+    return _grid_feature(_parse_png(payload), dim)
+
+
+def _image_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Real image kernel, zero extra dependencies: decode PNG or
+    baseline JPEG with the stdlib codecs, block-mean downsample to a
+    fixed side×side grid, and emit normalized per-cell RGB means —
+    the same deterministic visual fingerprint contract as
+    _pil_feature (Pillow's resampling differs numerically, so the
+    two kernels are separate, documented slots)."""
+    return _grid_feature(_parse_image(payload), dim)
+
+
+def _image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize kernel without Pillow: stdlib PNG/JPEG decode,
     nearest-neighbor index resample, stdlib PNG re-encode."""
-    arr = _parse_png(payload)
+    arr = _parse_image(payload)
     ri = (np.arange(height) * arr.shape[0]) // height
     ci = (np.arange(width) * arr.shape[1]) // width
     return _encode_png(_to_rgb(arr[ri][:, ci]))
@@ -455,7 +484,7 @@ def _one_feature(payload: bytes, kind: str, dim: int, mode: str) -> np.ndarray:
     if kind == "image":
         # Pillow when installed (wider formats), stdlib PNG otherwise;
         # 'auto' falls back per payload for undecodable bytes
-        real = _pil_feature if HAVE_PIL else _png_feature
+        real = _pil_feature if HAVE_PIL else _image_feature
         if mode == "auto":
             try:
                 return real(payload, dim)
@@ -616,7 +645,7 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64,
 
     def _real_thumb(p: bytes) -> bytes:
         if not HAVE_PIL:
-            return _png_resize(p, width, height)
+            return _image_resize(p, width, height)
         import io
 
         img = _PILImage.open(io.BytesIO(p)).convert("RGB")

@@ -277,17 +277,24 @@ def test_multimodal_real_image_stdlib(spark):
 
     meta = {"width": 18, "height": 24, "sample_rate": 0,
             "n_frames": 1, "codec": "png"}
+    from sparkbm25.jpeg import encode_jpeg
+
     rows = [(0, "image", png, meta),
-            (1, "image", mm.make_fake_png(16, 12, seed=3), meta)]
+            (1, "image", mm.make_fake_png(16, 12, seed=3), meta),
+            (2, "image", encode_jpeg(solid, quality=95), meta)]
     assets = spark.createDataFrame(rows, schema=mm.ASSET_SCHEMA)
 
     feats = (mm.extract_features(assets, dim=27, mode="real")
              .toPandas().set_index("asset_id"))
     np.testing.assert_allclose(feats.loc[0, "feature"], feat, rtol=1e-6)
+    # the JPEG of the same solid image lands on the same fingerprint
+    # (within quantization error)
+    np.testing.assert_allclose(feats.loc[2, "feature"], feat,
+                               atol=2.5 / 255)
 
     thumbs = (mm.resize_images(assets, width=5, height=4, mode="real")
               .toPandas().set_index("asset_id"))
-    for aid in (0, 1):
+    for aid in (0, 1, 2):
         arr = mm._parse_png(bytes(thumbs.loc[aid, "thumb"]))
         assert arr.shape == (4, 5, 3)
     # the solid thumb stays solid under nearest-neighbor resampling
