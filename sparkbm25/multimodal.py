@@ -3,14 +3,15 @@ typed metadata, processed through mapInPandas stages.
 
 Decode kernels — ALL THREE modalities are real-capable with the
 standard library alone (round 5 closed the last gated slot): AUDIO
-decodes PCM-WAV via stdlib wave (_wav_feature); VIDEO decodes
-uncompressed-DIB AVI containers via a stdlib struct RIFF walk
-(_parse_avi/_avi_feature, VERDICT r4 item 4); IMAGE decodes PNG via
-stdlib zlib+struct (_parse_png — full filter set None/Sub/Up/
-Average/Paeth per the public PNG spec, bit depth 8, color types
-gray/RGB/gray+alpha/RGBA, non-interlaced) and baseline JPEG via the
-stdlib struct+numpy codec (sparkbm25.jpeg — sequential DCT, Huffman,
-4:4:4/4:2:2/4:2:0, restart markers), upgrading to Pillow
+decodes PCM-WAV via stdlib wave (_wav_feature); VIDEO decodes AVI
+containers via a stdlib struct RIFF walk (_parse_avi/_avi_feature,
+VERDICT r4 item 4) with frames either uncompressed-DIB or MJPEG
+(sniffed by the SOI marker, decoded by the JPEG codec); IMAGE
+decodes PNG via stdlib zlib+struct (_parse_png — full filter set
+None/Sub/Up/Average/Paeth per the public PNG spec, bit depth 8,
+color types gray/RGB/gray+alpha/RGBA, non-interlaced) and baseline
+JPEG via the stdlib struct+numpy codec (sparkbm25.jpeg — sequential
+DCT, Huffman, 4:4:4/4:2:2/4:2:0, restart markers), upgrading to Pillow
 (_pil_feature) when installed for the wider format set (progressive
 JPEG, interlaced/16-bit PNG, ...). The Spark-side contract is
 identical in every mode and fully tested: schemas, Arrow batch
@@ -190,15 +191,24 @@ def _parse_avi(payload: bytes) -> dict:
 
 def _avi_feature(payload: bytes, dim: int, max_frames: int = 16) -> np.ndarray:
     """Real video kernel: parse the AVI container, decode up to
-    max_frames uncompressed-DIB frames to [0,1] grayscale samples, and
-    emit `dim` per-window RMS energies over the concatenated pixel
-    stream — the visual analog of the audio loudness envelope, with
-    the exact signature a learned video encoder slots into."""
+    max_frames frames to [0,1] samples, and emit `dim` per-window RMS
+    energies over the concatenated pixel stream — the visual analog
+    of the audio loudness envelope, with the exact signature a
+    learned video encoder slots into. Frame chunks whose bytes start
+    with a JPEG SOI marker decode through the stdlib baseline-JPEG
+    codec (MJPEG-in-AVI, the most common AVI payload — round 5);
+    anything else is treated as raw uncompressed-DIB samples."""
     info = _parse_avi(payload)
     frames = info["frames"][:max_frames]
     if not frames:
         raise ValueError("AVI container with no frame chunks")
-    pix = np.frombuffer(b"".join(frames), dtype=np.uint8)
+    if frames[0][:2] == b"\xff\xd8":                     # MJPEG stream
+        from sparkbm25.jpeg import parse_jpeg
+
+        pix = np.concatenate(
+            [parse_jpeg(f).reshape(-1) for f in frames])
+    else:
+        pix = np.frombuffer(b"".join(frames), dtype=np.uint8)
     arr = pix.astype(np.float32) / 255.0
     if arr.size == 0:
         return np.zeros(dim, dtype=np.float32)
@@ -208,18 +218,31 @@ def _avi_feature(payload: bytes, dim: int, max_frames: int = 16) -> np.ndarray:
 
 
 def make_fake_avi(width: int = 16, height: int = 12, n_frames: int = 5,
-                  seed: int = 0, fps: int = 25) -> bytes:
-    """Deterministic minimal uncompressed-DIB AVI writer (test/bench
-    fixture): RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh,strf}}
-    -> LIST(movi){'00db' raw 24-bit frames}. Round-trips through
-    _parse_avi; rows are 4-byte padded per the DIB spec."""
+                  seed: int = 0, fps: int = 25,
+                  codec: str = "dib") -> bytes:
+    """Deterministic minimal AVI writer (test/bench fixture):
+    RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh,strf}} ->
+    LIST(movi){frame chunks}. codec='dib' emits raw 24-bit '00db'
+    frames (rows 4-byte padded per the DIB spec); codec='mjpg' emits
+    '00dc' chunks each holding a baseline JPEG (MJPEG-in-AVI, the
+    shape _avi_feature sniffs by the SOI marker). Round-trips through
+    _parse_avi."""
     import struct
 
     rng = np.random.default_rng(seed)
     stride = ((width * 3 + 3) // 4) * 4
-    frames = [rng.integers(0, 256, stride * height,
-                           dtype=np.uint8).tobytes()
-              for _ in range(n_frames)]
+    if codec == "mjpg":
+        from sparkbm25.jpeg import encode_jpeg
+
+        frames = [encode_jpeg(
+            rng.integers(0, 256, (height, width, 3), dtype=np.uint8),
+            quality=90) for _ in range(n_frames)]
+    elif codec == "dib":
+        frames = [rng.integers(0, 256, stride * height,
+                               dtype=np.uint8).tobytes()
+                  for _ in range(n_frames)]
+    else:
+        raise ValueError("codec must be 'dib' or 'mjpg'")
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -231,15 +254,18 @@ def make_fake_avi(width: int = 16, height: int = 12, n_frames: int = 5,
     avih = struct.pack(
         "<14I", 1_000_000 // fps, stride * height * fps, 0, 0x10,
         n_frames, 0, 1, stride * height, width, height, 0, 0, 0, 0)
+    handler = b"MJPG" if codec == "mjpg" else b"DIB "
+    compression = struct.unpack("<i", b"MJPG")[0] if codec == "mjpg" else 0
     strh = struct.pack(
-        "<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        "<4s4sIHHIIIIIIII4H", b"vids", handler, 0, 0, 0, 0, 1, fps, 0,
         n_frames, stride * height, 0, 0, 0, 0, width, height)
     strf = struct.pack(
-        "<iiiHHiiiiii", 40, width, height, 1, 24, 0,
+        "<iiiHHiiiiii", 40, width, height, 1, 24, compression,
         stride * height, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    frame_id = b"00dc" if codec == "mjpg" else b"00db"
+    movi = lst(b"movi", b"".join(chunk(frame_id, f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -223,6 +223,39 @@ def test_multimodal_real_video(spark):
         mm.extract_video_features(gassets, dim=8, mode="real").toPandas()
 
 
+def test_multimodal_real_video_mjpeg(spark):
+    """MJPEG-in-AVI (the most common AVI payload): '00dc' chunks
+    holding baseline JPEGs decode through the stdlib JPEG codec to
+    pixel-RMS envelopes; sample_frames still emits the raw chunks."""
+    import numpy as np
+
+    from sparkbm25 import multimodal as mm
+    from sparkbm25.jpeg import parse_jpeg
+
+    p = mm.make_fake_avi(width=16, height=12, n_frames=6, seed=9,
+                         codec="mjpg")
+    info = mm._parse_avi(p)
+    assert len(info["frames"]) == 6
+    assert info["frames"][0][:2] == b"\xff\xd8"
+    assert parse_jpeg(info["frames"][0]).shape == (12, 16, 3)
+
+    feat = mm._avi_feature(p, 16)
+    # uniform-random pixels survive JPEG roughly: RMS of U[0,1] ≈ 0.577
+    assert all(0.35 < v < 0.8 for v in feat)
+
+    meta = {"width": 16, "height": 12, "sample_rate": 0,
+            "n_frames": 6, "codec": "mjpg"}
+    assets = spark.createDataFrame([(0, "video", p, meta)],
+                                   schema=mm.ASSET_SCHEMA)
+    feats = mm.extract_video_features(assets, dim=16, mode="real").toPandas()
+    np.testing.assert_allclose(feats["feature"].iloc[0], feat, rtol=1e-6)
+    frames = (mm.sample_frames(assets, every_n=2, mode="real")
+              .toPandas().sort_values("frame_idx"))
+    assert frames["frame_idx"].tolist() == [0, 2, 4]
+    for _, r in frames.iterrows():
+        assert bytes(r["frame"]) == info["frames"][r["frame_idx"]]
+
+
 def test_png_codec_roundtrip_all_filters():
     """The stdlib PNG codec round-trips every channel layout through
     every scanline filter type (None/Sub/Up/Average/Paeth) — the
