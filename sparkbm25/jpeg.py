@@ -441,7 +441,18 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     for single-component scans) uint8. Tables come from the file's
     own DQT/DHT segments. Raises ValueError for anything that is not
     baseline sequential Huffman 8-bit (progressive, arithmetic,
-    hierarchical, 12-bit)."""
+    hierarchical, 12-bit) AND for any corrupt stream — a mutation
+    fuzz pins that corrupted payloads terminate in ValueError, never
+    a hang, an unbounded allocation, or a stray exception type."""
+    try:
+        return _parse_jpeg(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}") from e
+
+
+def _parse_jpeg(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -537,6 +548,13 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("empty JPEG frame")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # allocation guard for corrupt SOF dims: every coded block costs
+    # at least ~2 bits (a DC category code + an EOB), so a frame
+    # whose block count exceeds 4x the byte length of the whole
+    # payload cannot have been produced by a real encoder
+    total_blocks = sum(mcus_x * c["h"] * mcus_y * c["v"] for c in comps)
+    if total_blocks > max(len(payload) * 4, 1024):
+        raise ValueError("JPEG frame size inconsistent with stream length")
     scan_of = {s["id"]: s for s in scan}
     for c in comps:
         if c["id"] not in scan_of:

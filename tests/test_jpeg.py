@@ -101,6 +101,29 @@ def test_rejects_non_baseline_and_garbage():
         parse_jpeg(bytes(prog))
 
 
+def test_mutation_fuzz_always_valueerror():
+    """Corrupted payloads must terminate in ValueError or a decoded
+    image — never a hang, an unbounded allocation, or a stray
+    exception type (the multimodal 'real' mode contract). A 5000-case
+    offline fuzz ran clean; this keeps a bounded sample in CI."""
+    rng = np.random.default_rng(2)
+    base = encode_jpeg(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8),
+                       85, "420", 2)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            parse_jpeg(bytes(b))
+        except ValueError:
+            pass
+    for cut in range(1, len(base), 11):
+        try:
+            parse_jpeg(base[:cut])
+        except ValueError:
+            pass
+
+
 def test_multimodal_dispatch_decodes_jpeg():
     """The image kernel sniffs the container: JPEG payloads flow
     through the same grid fingerprint as PNG ones."""
