@@ -114,10 +114,13 @@ def _wav_feature(payload: bytes, dim: int) -> np.ndarray:
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sw = w.getsampwidth()
-        nch = w.getnchannels()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sw = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as e:
+        raise ValueError(f"corrupt WAV container: {e}") from e
     if sw == 2:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sw == 1:
@@ -182,8 +185,11 @@ def _parse_avi(payload: bytes) -> dict:
                 info["frames"].append(buf[body:body + size])
             off = body + size + (size & 1)   # RIFF chunks are word-aligned
 
-    walk(payload, 12, min(len(payload),
-                          12 + struct.unpack_from("<I", payload, 4)[0]))
+    try:
+        walk(payload, 12, min(len(payload),
+                              12 + struct.unpack_from("<I", payload, 4)[0]))
+    except struct.error as e:       # truncated chunk header mid-walk
+        raise ValueError(f"corrupt AVI container: {e}") from e
     if not info["width"] or not info["height"]:
         raise ValueError("AVI container without a video header")
     return info
@@ -322,7 +328,11 @@ def _parse_png(payload: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError("PNG without IHDR/IDAT")
     ch = _PNG_CHANNELS[color]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = width * ch
     if raw.size != height * (stride + 1):
         raise ValueError("PNG scanline size mismatch")

