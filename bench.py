@@ -119,6 +119,9 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         n_doc_partitions=max(cpus, 8),
         checkpoint_runs=os.environ.get("SPARK_GRAFT_CHECKPOINT", "0") == "1",
         build_terms_dict=False,
+        # 'stream' (occurrence-row shuffle) or 'packed' (map-side SPIMI
+        # combine, round 5) — A/B'd in BENCH/r5/packed_ab.json
+        encoder=os.environ.get("SPARK_GRAFT_ENCODER", "stream"),
     )
 
     transcripts = spark.read.parquet(input_path)

@@ -418,6 +418,280 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
     return encode
 
 
+def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
+    """Map-side SPIMI combine (encoder='packed'): one Arrow pass per
+    doc-contiguous input partition that turns (doc_ord, tokens) rows
+    into ONE packed row per (term, salt):
+
+        (term, salt, min_doc, n_runs, runs[, pos])
+
+    runs is a varint stream of interleaved (doc delta, tf, dl) per
+    posting — the first doc of each packed row is absolute, so rows
+    merge by concatenation. pos (store_positions) is the group's raw
+    within-doc positions as varints, occurrence order.
+
+    Why map-side: the shuffled bytes are the build's memory-bandwidth
+    ceiling (BENCH/BASELINE.md). The lean occurrence row costs ~30-40 B
+    through the exchange (string term + int64 doc + int32 dl + Tungsten
+    row overhead) per token; the packed run costs ~3-4 varint bytes,
+    the term string ships once per (partition, term, salt), and the
+    partition-wide Tungsten sort over raw occurrences is replaced by a
+    numpy stable argsort over int32 dictionary codes inside the same
+    Python worker that already holds the Arrow batch.
+
+    Memory: the kernel buffers one input partition's occurrence arrays
+    (~16 B/token + the Arrow token buffer). At the 128 MB input-split
+    sizing a 100 TB cluster run uses, that is a few hundred MB/task —
+    the same order the Tungsten sort buffers today.
+
+    Correctness invariants: input rows are doc_ord-ascending within
+    the partition (assign_doc_ords range-shuffles then sorts), token
+    order inside a list IS position order, and a (term, doc) pair
+    lives in exactly one partition — so tf completes map-side and a
+    stable sort on term codes keeps (doc, pos) order inside groups."""
+
+    def pack(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from sparkbm25.codec import varint_encode_with_offsets
+
+        doc_chunks: list[np.ndarray] = []
+        tok_chunks: list = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            doc_chunks.append(
+                rb.column(rb.schema.get_field_index("doc_ord"))
+                .to_numpy(zero_copy_only=False))
+            tok_chunks.append(rb.column(rb.schema.get_field_index("tokens")))
+        if not doc_chunks:
+            return
+        docs_d = np.concatenate(doc_chunks)
+        toks = pa.chunked_array(tok_chunks)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = len(flat)
+        if n == 0:
+            return
+        occ_doc = np.repeat(docs_d, counts)
+        occ_dl = np.repeat(counts, counts)  # dl == len(tokens) by construction
+        occ_pos = None
+        if with_pos:
+            doc_starts = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+            occ_pos = np.arange(n, dtype=np.int64) - np.repeat(doc_starts, counts)
+
+        # group by term WITHOUT a string sort: dictionary-encode in
+        # Arrow C++, stable-argsort the int32 codes (keeps doc/pos order)
+        dict_arr = pc.dictionary_encode(flat)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        vocab = dict_arr.dictionary
+        order = np.argsort(codes, kind="stable")
+        s_codes = codes[order]
+        s_doc = occ_doc[order]
+        s_dl = occ_dl[order]
+        s_pos = occ_pos[order] if with_pos else None
+        salt = np.minimum(
+            ns - 1, (s_doc - base) * ns // max(n_docs, 1)).astype(np.int32)
+
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = (s_codes[1:] != s_codes[:-1]) | (salt[1:] != salt[:-1])
+        gstarts = np.flatnonzero(change)
+        go_occ = np.append(gstarts, n).astype(np.int64)
+        G = gstarts.size
+
+        region, kw = _occurrences_to_runs(
+            change, s_doc, s_dl, n, go_occ, s_pos)
+        run_docs, run_tfs, run_dls, go_runs = region
+        m = run_docs.size
+
+        deltas = run_docs.astype(np.uint64)
+        if m > 1:
+            d = deltas.copy()
+            d[1:] = deltas[1:] - deltas[:-1]
+            d[go_runs[:-1]] = deltas[go_runs[:-1]]  # group-first absolute
+            deltas = d
+        vals = np.empty(3 * m, dtype=np.uint64)
+        vals[0::3] = deltas
+        vals[1::3] = run_tfs.astype(np.uint64)
+        vals[2::3] = run_dls.astype(np.uint64)
+        buf, voff = varint_encode_with_offsets(vals)
+        byte_off = voff[3 * go_runs].astype(np.int32)
+        runs_col = pa.Array.from_buffers(
+            pa.binary(), G, [None, pa.py_buffer(byte_off), pa.py_buffer(buf)])
+
+        arrays = [
+            vocab.take(pa.array(s_codes[gstarts], type=pa.int64())).cast(
+                pa.string()),
+            pa.array(salt[gstarts], type=pa.int32()),
+            pa.array(run_docs[go_runs[:-1]], type=pa.int64()),
+            pa.array(np.diff(go_runs), type=pa.int64()),
+            runs_col,
+        ]
+        names = ["term", "salt", "min_doc", "n_runs", "runs"]
+        if with_pos:
+            pbuf, pvoff = varint_encode_with_offsets(
+                kw["positions"].astype(np.uint64))
+            p_off = pvoff[go_occ].astype(np.int32)
+            arrays.append(pa.Array.from_buffers(
+                pa.binary(), G,
+                [None, pa.py_buffer(p_off), pa.py_buffer(pbuf)]))
+            names.append("pos")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return pack
+
+
+def _binary_col_stream(col) -> tuple[bytes, np.ndarray]:
+    """Arrow binary column -> (concatenated payload bytes, per-row byte
+    lengths). Fast path reads the offsets + data buffers directly (rows
+    are adjacent in Arrow's layout); any sliced/offset layout falls back
+    to a per-row join."""
+    if hasattr(col, "combine_chunks"):  # ChunkedArray -> Array
+        col = col.combine_chunks()
+    if col.null_count == 0 and col.offset == 0:
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                             count=len(col) + 1)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8,
+                             count=int(offs[-1]))
+        return data[offs[0]:].tobytes(), np.diff(offs).astype(np.int64)
+    rows = col.to_pylist()
+    return b"".join(r or b"" for r in rows), np.array(
+        [len(r or b"") for r in rows], dtype=np.int64)
+
+
+def _make_merge_encoder(k1: float, b: float, avgdl: float, block_size: int,
+                        nb: int, postings_acc=None, rows_acc=None,
+                        with_pos: bool = False):
+    """Reduce-side merge for encoder='packed': input rows are packed
+    (term, salt, min_doc, n_runs, runs[, pos]) sorted by
+    (term, salt, min_doc) within the partition. Rows of one (term,
+    salt) group concatenate into the group's posting run (partition
+    doc ranges are disjoint and min_doc-ordered), which block-encodes
+    through the same codec as the stream path — segments come out
+    byte-identical. Groups spanning Arrow batches are carried; decode
+    of every blob in a batch happens in ONE varint pass."""
+
+    def merge(batches):
+        import zlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from sparkbm25.codec import encode_blocks_batch, varint_decode
+
+        carry = None  # {"term_pa", "salt", "docs", "tfs", "dls", "pos"}
+
+        def emit(terms_pa, salts, docs, tfs, dls, go, positions=None):
+            kw = {}
+            if with_pos:
+                occ_off = np.concatenate(
+                    ([0], np.cumsum(tfs))).astype(np.int64)
+                kw = {"positions": positions, "occ_offsets": occ_off}
+            blocks = encode_blocks_batch(
+                docs, tfs, dls, go, k1=k1, b=b, avgdl=avgdl,
+                block_size=block_size, **kw)
+            if postings_acc is not None:
+                postings_acc.add(int(docs.size))
+                rows_acc.add(int(go.size - 1))
+            tb = np.fromiter(
+                (zlib.crc32(t.encode()) % nb for t in terms_pa.to_pylist()),
+                dtype=np.int32, count=len(terms_pa))
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tb, type=pa.int32()),
+                    terms_pa.cast(pa.string()),
+                    pa.array(salts, type=pa.int32()),
+                    pa.array(np.diff(go), type=pa.int64()),
+                    pa.array(blocks, type=_block_pa_type(with_pos)),
+                ],
+                names=["term_bucket", "term", "salt", "n_docs", "blocks"],
+            )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            term_pa = rb.column(rb.schema.get_field_index("term"))
+            salt = rb.column(rb.schema.get_field_index("salt")).to_numpy(
+                zero_copy_only=False)
+            nr = rb.column(rb.schema.get_field_index("n_runs")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            stream, _lens = _binary_col_stream(
+                rb.column(rb.schema.get_field_index("runs")))
+            vals = varint_decode(stream)
+            deltas = vals[0::3]
+            tfs = vals[1::3].astype(np.int64)
+            dls = vals[2::3].astype(np.int64)
+            # within-row cumsum (row firsts are absolute): rows chain
+            # into groups by concatenation because doc ranges are
+            # disjoint and the sort ordered them by min_doc
+            rs = np.concatenate(([0], np.cumsum(nr)))[:-1]
+            cs = np.cumsum(deltas.astype(np.int64))
+            anchor = cs[rs] - deltas[rs].astype(np.int64)
+            docs = cs - np.repeat(anchor, nr)
+            pos = None
+            if with_pos:
+                pstream, _pl = _binary_col_stream(
+                    rb.column(rb.schema.get_field_index("pos")))
+                pos = varint_decode(pstream).astype(np.int64)
+
+            if carry is not None:
+                term_pa = pa.concat_arrays(
+                    [carry["term_pa"].cast(term_pa.type), term_pa])
+                salt = np.concatenate(([carry["salt"]], salt))
+                nr = np.concatenate(([carry["docs"].size], nr))
+                docs = np.concatenate([carry["docs"], docs])
+                tfs = np.concatenate([carry["tfs"], tfs])
+                dls = np.concatenate([carry["dls"], dls])
+                if with_pos:
+                    pos = np.concatenate([carry["pos"], pos])
+                carry = None
+
+            R = len(term_pa)
+            change = np.empty(R, dtype=bool)
+            change[0] = True
+            if R > 1:
+                neq = pc.not_equal(term_pa.slice(1), term_pa.slice(0, R - 1))
+                change[1:] = (neq.to_numpy(zero_copy_only=False)
+                              | (salt[1:] != salt[:-1]))
+            g_rows = np.flatnonzero(change)
+            row_run_off = np.concatenate(([0], np.cumsum(nr)))
+
+            last_row = int(g_rows[-1])
+            cut = int(row_run_off[last_row])  # run-space end of complete region
+            occ_cut = None
+            if with_pos:
+                occ_all = np.concatenate(([0], np.cumsum(tfs)))
+                occ_cut = int(occ_all[cut])
+            carry = {
+                "term_pa": term_pa.slice(last_row, 1),
+                "salt": salt[last_row],
+                "docs": docs[cut:], "tfs": tfs[cut:], "dls": dls[cut:],
+                "pos": pos[occ_cut:] if with_pos else None,
+            }
+            if g_rows.size == 1:
+                continue  # whole batch is one (possibly continuing) group
+            go = row_run_off[g_rows].astype(np.int64)  # last == cut
+            yield emit(
+                term_pa.take(pa.array(g_rows[:-1], type=pa.int64())),
+                salt[g_rows[:-1]],
+                docs[:cut], tfs[:cut], dls[:cut], go,
+                positions=pos[:occ_cut] if with_pos else None,
+            )
+
+        if carry is not None and carry["docs"].size:
+            go = np.array([0, carry["docs"].size], dtype=np.int64)
+            yield emit(carry["term_pa"], np.array([carry["salt"]]),
+                       carry["docs"], carry["tfs"], carry["dls"], go,
+                       positions=carry["pos"])
+
+    return merge
+
+
 def _occurrences_to_runs(group_change, docs, dls, L, group_offsets, pos=None):
     """Raw occurrence region -> ((unique docs, tf run-lengths, dls,
     group offsets remapped to run space), positions kwargs). The
@@ -526,11 +800,24 @@ def build_index(
             F.floor((F.col("doc_ord") - F.lit(doc_ord_base)) * ns
                     / F.lit(max(n_docs, 1))),
         ).cast("int")
+        if config.encoder == "packed" and config.checkpoint_runs:
+            raise ValueError(
+                "encoder='packed' streams map-side combined runs straight "
+                "into the merge: use checkpoint_runs=False (the resumable "
+                "pre-aggregated SPIMI runs are the 'stream' path's)")
         if config.store_positions:
-            if config.checkpoint_runs or config.encoder != "stream":
+            if config.checkpoint_runs or config.encoder not in ("stream", "packed"):
                 raise ValueError(
                     "store_positions rides the raw occurrence stream: "
-                    "use IndexConfig(encoder='stream', checkpoint_runs=False)")
+                    "use IndexConfig(encoder='stream'|'packed', "
+                    "checkpoint_runs=False)")
+        if config.encoder == "packed":
+            # map-side SPIMI combine: NO explode — the pack kernel
+            # flattens the tokens ListArray zero-copy and aggregates
+            # (term, doc) runs inside the partition (positions ride the
+            # token order, so store_positions needs no posexplode either)
+            occurrences = df_tok.select("doc_ord", "tokens")
+        elif config.store_positions:
             occurrences = df_tok.select(
                 "doc_ord", F.col("dl").cast("int").alias("dl"),
                 F.posexplode("tokens").alias("pos", "term"))
@@ -563,6 +850,8 @@ def build_index(
             # the groupBy(term, doc) hash-agg shuffle disappears
             # entirely and the shuffled rows carry no derivable columns
             # (shuffle bytes are the build's memory-bandwidth ceiling)
+            tf_df = occurrences
+        elif config.encoder == "packed":
             tf_df = occurrences
         else:
             tf_df = (
@@ -694,6 +983,31 @@ def build_index(
                                 term_bucket_col(F.col("term"),
                                                 config.n_term_buckets))
                 )
+        elif config.encoder == "packed":
+            # map-side SPIMI combine: the pack kernel emits one varint
+            # row per (term, salt, input partition); the exchange moves
+            # compressed runs (~3-4 B/posting) instead of occurrence
+            # rows (~30-40 B/token), and the reduce side is a
+            # concatenation merge (disjoint, min_doc-ordered ranges)
+            # into the same block codec — segments byte-identical to
+            # the 'stream' path
+            with_pos = config.store_positions
+            pack = _make_pack_kernel(
+                config.n_salt_buckets, doc_ord_base, n_docs, with_pos)
+            packed_schema = (
+                "term string, salt int, min_doc bigint, n_runs bigint, "
+                "runs binary" + (", pos binary" if with_pos else ""))
+            packed = tf_chunk.mapInArrow(pack, schema=packed_schema)
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            sorted_packed = (
+                packed.repartition(n_shuffle, "term", "salt")
+                .sortWithinPartitions("term", "salt", "min_doc")
+            )
+            merge = _make_merge_encoder(
+                k1, b, float(avgdl), bs, config.n_term_buckets,
+                postings_acc, rows_acc, with_pos=with_pos)
+            seg = sorted_packed.mapInArrow(
+                merge, schema=segment_schema(with_pos))
         else:
             grouped = tf_chunk.groupBy("term_bucket", "term", "salt").agg(
                 F.sort_array(
@@ -714,7 +1028,7 @@ def build_index(
         # chunk metrics: accumulators filled by the encode tasks (no
         # extra job, no driver-side column read); footer fallback for
         # the collect-encoder path
-        if config.encoder == "stream":
+        if config.encoder in ("stream", "packed"):
             n_rows, n_postings = rows_acc.value, postings_acc.value
         else:
             n_rows, n_postings = _segment_chunk_metrics(

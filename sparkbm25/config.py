@@ -91,6 +91,19 @@ class IndexConfig:
     #               sortWithinPartitions, and a streaming mapInArrow
     #               encoder that carries partial groups across batches —
     #               no per-group array buffering at all.
+    #   'packed'  — map-side SPIMI combine (round 5): each doc-contiguous
+    #               input partition aggregates its own (term, doc) tf runs
+    #               in one Arrow pass (the tokens ListArray flattens
+    #               zero-copy; no explode) and shuffles ONE varint-packed
+    #               row per (term, salt) instead of one row per
+    #               occurrence. The reduce side merge-concatenates runs
+    #               (partition doc ranges are disjoint and ordered, so a
+    #               sort on min_doc is a merge) and block-encodes.
+    #               Shuffle bytes drop ~10x and the Tungsten sort over
+    #               raw occurrences disappears — the two dominant
+    #               memory-bandwidth costs of the build at high
+    #               parallelism. Segments are byte-identical to 'stream'.
+    #               Requires checkpoint_runs=False.
     encoder: str = "stream"
 
     def term_bucket_of(self, term: str) -> int:
