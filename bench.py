@@ -119,9 +119,12 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         n_doc_partitions=max(cpus, 8),
         checkpoint_runs=os.environ.get("SPARK_GRAFT_CHECKPOINT", "0") == "1",
         build_terms_dict=False,
-        # 'stream' (occurrence-row shuffle) or 'packed' (map-side SPIMI
-        # combine, round 5) — A/B'd in BENCH/r5/packed_ab.json
-        encoder=os.environ.get("SPARK_GRAFT_ENCODER", "stream"),
+        # 'packed' (map-side SPIMI combine) is the headline default:
+        # same-JVM interleaved A/B in a quiet window put it ~9.5% ahead
+        # of 'stream' at local[32] with byte-identical segments
+        # (BENCH/r5/packed_ab_samejvm.json; subprocess A/Bs in noisy
+        # windows were sign-unstable, BENCH/r5/packed_ab.json)
+        encoder=os.environ.get("SPARK_GRAFT_ENCODER", "packed"),
     )
 
     transcripts = spark.read.parquet(input_path)

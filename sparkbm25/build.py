@@ -430,14 +430,18 @@ def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
     merge by concatenation. pos (store_positions) is the group's raw
     within-doc positions as varints, occurrence order.
 
-    Why map-side: the shuffled bytes are the build's memory-bandwidth
+    Why map-side: the shuffled rows are the build's memory-bandwidth
     ceiling (BENCH/BASELINE.md). The lean occurrence row costs ~30-40 B
-    through the exchange (string term + int64 doc + int32 dl + Tungsten
-    row overhead) per token; the packed run costs ~3-4 varint bytes,
-    the term string ships once per (partition, term, salt), and the
-    partition-wide Tungsten sort over raw occurrences is replaced by a
-    numpy stable argsort over int32 dictionary codes inside the same
-    Python worker that already holds the Arrow batch.
+    of serialization + sort traffic per token (string term + int64 doc
+    + int32 dl + Tungsten row overhead); the packed run costs ~3-4
+    varint bytes, the term string ships once per (partition, term,
+    salt), and the partition-wide Tungsten sort over raw occurrences is
+    replaced by a numpy stable argsort over int32 dictionary codes
+    inside the same Python worker that already holds the Arrow batch.
+    Measured whole-build at 960k turns (BENCH/r5/shuffle_bytes.json):
+    shuffle records 17.2M -> 1.34M (12.8x); on-wire zstd bytes only
+    1.35x smaller (the sorted occurrence stream compressed well) — the
+    win is the eliminated row materialization + sort, not the wire.
 
     Memory: the kernel buffers one input partition's occurrence arrays
     (~16 B/token + the Arrow token buffer). At the 128 MB input-split

@@ -99,10 +99,15 @@ class IndexConfig:
     #               occurrence. The reduce side merge-concatenates runs
     #               (partition doc ranges are disjoint and ordered, so a
     #               sort on min_doc is a merge) and block-encodes.
-    #               Shuffle bytes drop ~10x and the Tungsten sort over
-    #               raw occurrences disappears — the two dominant
-    #               memory-bandwidth costs of the build at high
-    #               parallelism. Segments are byte-identical to 'stream'.
+    #               Measured at 960k turns (BENCH/r5/shuffle_bytes.json):
+    #               whole-build shuffle RECORDS drop 12.8x (17.2M ->
+    #               1.34M) — on-wire zstd bytes only 1.35x, the sorted
+    #               occurrence stream compressed well — and the explode
+    #               row materialization + partition-wide Tungsten
+    #               occurrence sort disappear entirely; net build
+    #               speedup ~9.5% at local[32] (same-JVM A/B,
+    #               BENCH/r5/packed_ab_samejvm.json). Segments are
+    #               byte-identical to 'stream'.
     #               Requires checkpoint_runs=False.
     encoder: str = "stream"
 
