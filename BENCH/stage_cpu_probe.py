@@ -47,7 +47,8 @@ def main():
     input_path = ensure_input(n_turns)
     cfg = IndexConfig(n_term_buckets=32, n_salt_buckets=8, n_build_chunks=1,
                       n_doc_partitions=max(cpus, 8),
-                      checkpoint_runs=False, build_terms_dict=False)
+                      checkpoint_runs=False, build_terms_dict=False,
+                      encoder=os.environ.get("SPARK_GRAFT_ENCODER", "stream"))
     idx = os.path.join(shm, f"idx_{cpus}")
     import shutil
 
