@@ -280,10 +280,12 @@ def docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf_dir per process) the real segment index over
-    the documents table — the engine-backed path for the BM25 oracles."""
-    key = os.path.abspath(sf_dir)
+def _ensure_index(spark: SparkSession, sf_dir: str,
+                  encoder: str = "stream") -> str:
+    """Build (once per (sf_dir, encoder) per process) the real segment
+    index over the documents table — the engine-backed path for the
+    BM25 oracles."""
+    key = os.path.abspath(sf_dir) + ":" + encoder
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     from sparkbm25.build import build_index
@@ -294,10 +296,12 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     # earlier process with the old mapping
     index_dir = os.path.join(
         tempfile.gettempdir(),
-        "sparkbm25_entry5_" + key.strip("/").replace("/", "_"),
+        "sparkbm25_entry5_" + key.strip("/").replace("/", "_")
+        .replace(":", "_"),
     )
     cfg = IndexConfig(n_term_buckets=8, n_salt_buckets=4, n_build_chunks=1,
-                      store_positions=True, checkpoint_runs=False)
+                      store_positions=True, checkpoint_runs=False,
+                      encoder=encoder)
     build_index(spark, docs_as_transcripts(spark, sf_dir), index_dir, cfg,
                 input_desc=key)
     _INDEX_CACHE[key] = index_dir
@@ -322,6 +326,26 @@ def q_bm25_topk(spark, sf_dir):
     """Flagship: full engine path (index build → segment scan → block
     decode → score → top-k) vs a pure-SQL BM25 oracle."""
     return _bm25_engine(spark, sf_dir, BM25_TERMS, "or")
+
+
+def q_bm25_packed(spark, sf_dir):
+    """Flagship query served from an index built by the round-5
+    map-side SPIMI combine (encoder='packed', build._make_pack_kernel /
+    _make_merge_encoder): the driver-visible twin of
+    tests/test_packed_encoder.py's byte-identity assertion — the packed
+    build must reproduce bm25_topk's exact top-k and micro-scores
+    against the same pure-SQL oracle."""
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir, encoder="packed")
+    queries = pd.DataFrame(
+        {"query_id": [0], "query_text": [" ".join(BM25_TERMS)], "k": [TOPK]})
+    out = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
 
 
 def q_bm25_topk_multi(spark, sf_dir):
@@ -2624,6 +2648,7 @@ QUERIES = {
     "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_packed": (q_bm25_packed, SQL_BM25_TOPK),
     "bm25_topk_multi": (q_bm25_topk_multi, SQL_BM25_TOPK_MULTI),
     "bm25_topk_and": (q_bm25_topk_and, SQL_BM25_TOPK_AND),
     "bm25_wand": (q_bm25_wand, SQL_BM25_TOPK),
@@ -2754,6 +2779,16 @@ EXCLUDED_FROM_DRIVER = (
                                  # column-math path driver-checked —
                                  # frees the slot for the round-5
                                  # bm25_wildcard_filter entry
+    "bm25_topk",                 # identical query + SQL twin as the
+                                 # round-5 bm25_packed entry, which
+                                 # runs the SAME batch search path
+                                 # over the packed-encoder index (the
+                                 # bench default) — the swap keeps the
+                                 # new build path driver-checked while
+                                 # entry() and the local replica keep
+                                 # the stream-built flagship covered
+                                 # (plus 20+ other driver entries
+                                 # build with encoder='stream')
 )
 DRIVER_QUERIES = {k: v for k, v in QUERIES.items()
                   if k not in EXCLUDED_FROM_DRIVER}
