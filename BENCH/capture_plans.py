@@ -163,6 +163,27 @@ def main():
                    "columns materialized",
                    "hashpartitioning" in p and "term_bucket" not in p))
 
+    # 6b. packed build exchange (round 5 default): the pack kernel's
+    #     mapInArrow output is the ONLY thing exchanged — one row per
+    #     (term, salt, input partition) with a varint runs blob — and
+    #     the reduce side is a partition-local sort + mapInArrow merge;
+    #     no explode, no occurrence rows through the shuffle
+    from sparkbm25.build import _make_pack_kernel
+
+    pack = _make_pack_kernel(4, 0, 500, False)
+    packed = df_tok.select("doc_ord", "tokens").mapInArrow(
+        pack, schema="term string, salt int, min_doc bigint, "
+                     "n_runs bigint, runs binary")
+    sp = (packed.repartition(32, "term", "salt")
+          .sortWithinPartitions("term", "salt", "min_doc"))
+    p = explain_str(sp)
+    sections.append(("Packed build exchange (varint runs, no explode)", p))
+    checks.append(("packed exchange: MapInArrow feeds the hash exchange, "
+                   "no Generate/explode node",
+                   "hashpartitioning(term" in p and "Generate" not in p
+                   and ("MapInArrow" in p or "ArrowEvalPython" in p
+                        or "PythonMapInArrow" in p)))
+
     # 7. round-5 banded multi-term expansion: the prefix leaf's range
     #    predicates reach the parquet scan of the term-SORTED
     #    dictionary (row-group min/max pruning), the fuzzy leaf reads
