@@ -83,6 +83,51 @@ def test_packed_index_searchable(spark, corpus, tmp_path_factory):
         assert len(exp) == 0 or (exp["score"] - got["score"]).abs().max() < 1e-12
 
 
+def test_packed_edge_corpus_byte_identical(spark, tmp_path_factory):
+    """Adversarial corpus: null/empty/whitespace texts (tokenize to []
+    and must vanish from postings while staying in the forward table),
+    a single hot term repeated many times in one doc (tf run-length),
+    unicode terms (dictionary-encode + crc32 bucketing on non-ASCII),
+    and a one-doc tail partition."""
+    import pandas as pd
+
+    texts = (
+        [None, "", "   ", "!!!"]
+        + ["spark " * 50]                      # tf=50 in one doc
+        + ["über naïve café 北京 données"] * 3   # unicode
+        + [f"w{i % 7} common w{i % 3}" for i in range(200)]
+        + ["lonely"]                            # tail
+    )
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:06d}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts),
+        "role": ["user"] * len(texts),
+        "text": texts,
+        "tool": [None] * len(texts),
+    })
+    root = str(tmp_path_factory.mktemp("packed_edge"))
+    segs = {}
+    for enc in ("stream", "packed"):
+        idx = os.path.join(root, enc)
+        cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=3,
+                          n_build_chunks=1, n_doc_partitions=5,
+                          checkpoint_runs=False, build_terms_dict=False,
+                          encoder=enc, store_positions=True)
+        res = build_index(spark, spark.createDataFrame(pdf), idx, cfg)
+        assert res.n_docs == len(texts)  # empties stay in the forward table
+        segs[enc] = _read_segments(spark, idx)
+    a, b = segs["stream"], segs["packed"]
+    assert len(a) == len(b) and len(a) > 0
+    for col in ("term", "salt", "n_docs", "term_bucket"):
+        assert (a[col].values == b[col].values).all(), col
+    for i in range(len(a)):
+        for x, y in zip(a["blocks"].iloc[i], b["blocks"].iloc[i]):
+            assert dict(x) == dict(y), a["term"].iloc[i]
+    # the tf=50 run survived run-length counting
+    spk = a[a["term"] == "spark"]
+    assert int(spk["n_docs"].sum()) >= 1
+
+
 def test_packed_rejects_checkpoint_runs(spark, corpus, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("packed_cfg"))
     cfg = IndexConfig(encoder="packed", checkpoint_runs=True)
