@@ -524,6 +524,15 @@ def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
         vals[1::3] = run_tfs.astype(np.uint64)
         vals[2::3] = run_dls.astype(np.uint64)
         buf, voff = varint_encode_with_offsets(vals)
+        if voff[-1] > np.iinfo(np.int32).max:
+            # int32 Arrow binary offsets: a single input partition whose
+            # packed payload exceeds 2 GiB means the split sizing is off
+            # by ~20x (a 128 MB input split packs to ~100 MB) — fail
+            # loudly instead of overflowing the offsets silently
+            raise ValueError(
+                "packed partition payload exceeds 2 GiB; raise "
+                "n_doc_partitions (or shrink input splits) so each "
+                "partition packs to well under int32 offsets")
         byte_off = voff[3 * go_runs].astype(np.int32)
         runs_col = pa.Array.from_buffers(
             pa.binary(), G, [None, pa.py_buffer(byte_off), pa.py_buffer(buf)])
@@ -540,6 +549,10 @@ def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
         if with_pos:
             pbuf, pvoff = varint_encode_with_offsets(
                 kw["positions"].astype(np.uint64))
+            if pvoff[-1] > np.iinfo(np.int32).max:
+                raise ValueError(
+                    "packed partition positions payload exceeds 2 GiB; "
+                    "raise n_doc_partitions (see runs-payload guard)")
             p_off = pvoff[go_occ].astype(np.int32)
             arrays.append(pa.Array.from_buffers(
                 pa.binary(), G,
