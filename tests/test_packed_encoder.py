@@ -128,6 +128,35 @@ def test_packed_edge_corpus_byte_identical(spark, tmp_path_factory):
     assert int(spk["n_docs"].sum()) >= 1
 
 
+def test_packed_incremental_append_and_compact(spark, corpus,
+                                               tmp_path_factory):
+    """The packed encoder through the generational pipeline: two
+    update_index appends (disjoint doc_ord_base ranges exercise the
+    pack kernel's absolute-first-doc encoding at a nonzero base) plus
+    an auto-compact fold must answer queries identically to a one-shot
+    stream build over the full corpus."""
+    from sparkbm25.streaming import update_index
+
+    root = str(tmp_path_factory.mktemp("packed_gen") / "idx")
+    cfg = IndexConfig(n_term_buckets=8, n_salt_buckets=4, n_build_chunks=1,
+                      n_doc_partitions=4, checkpoint_runs=False,
+                      build_terms_dict=False, encoder="packed")
+    half = N_TURNS // 2
+    update_index(spark, spark.createDataFrame(corpus.iloc[:half]), root, cfg)
+    res = update_index(spark, spark.createDataFrame(corpus.iloc[half:]),
+                       root, cfg, auto_compact_after=2)
+    assert res.n_docs == N_TURNS - half
+
+    one_shot = _build(spark, corpus,
+                      str(tmp_path_factory.mktemp("packed_gen_ref")),
+                      "stream", False)
+    s_gen, s_ref = Searcher(spark, root), Searcher(spark, one_shot)
+    for q in make_queries()["query_text"]:
+        got, exp = s_gen.search(q, k=10), s_ref.search(q, k=10)
+        assert got["conv_id"].tolist() == exp["conv_id"].tolist(), q
+        assert len(exp) == 0 or (exp["score"] - got["score"]).abs().max() < 1e-9
+
+
 def test_packed_rejects_checkpoint_runs(spark, corpus, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("packed_cfg"))
     cfg = IndexConfig(encoder="packed", checkpoint_runs=True)
