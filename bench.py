@@ -125,6 +125,12 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         # (BENCH/r5/packed_ab_samejvm.json; subprocess A/Bs in noisy
         # windows were sign-unstable, BENCH/r5/packed_ab.json)
         encoder=os.environ.get("SPARK_GRAFT_ENCODER", "packed"),
+        # the bench input is written sorted into non-overlapping files;
+        # 'verify' PROVES that at runtime (per-partition order check +
+        # driver bound check) and skips the stage-1 full-text range
+        # shuffle — the Iceberg write-ordered-table path
+        # (BENCH/r5/inorder_ab.json)
+        input_order=os.environ.get("SPARK_GRAFT_INPUT_ORDER", "verify"),
     )
 
     transcripts = spark.read.parquet(input_path)

@@ -85,12 +85,33 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     n_part = config.n_doc_partitions or spark.sparkContext.defaultParallelism
     cols = ["conv_id", "turn_idx", "text"]
     attrs = [c for c in ("role", "tool", "ts") if c in df.columns]
-    dfp = (
-        df.select(*cols, *attrs)
-        .repartitionByRange(n_part, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .withColumn("pid", F.spark_partition_id())
-    )
+    if config.input_order not in ("shuffle", "verify"):
+        raise ValueError(
+            f"input_order must be 'shuffle' or 'verify', got "
+            f"{config.input_order!r}")
+    verify_order = config.input_order == "verify"
+    if verify_order:
+        # sorted-input fast path (round 5): NO range shuffle — the full
+        # text corpus never crosses an exchange. The input's own
+        # partitioning is kept; the tokenize kernel proves each
+        # partition is internally (conv_id, turn_idx)-sorted as it
+        # streams, and the bookkeeping job below returns per-partition
+        # key bounds so the driver proves partitions are globally
+        # non-overlapping before assigning offsets in key order. Any
+        # violation raises — this is trust-but-verify, not an
+        # unchecked assumption. (Iceberg tables write-ordered by the
+        # key hit this path for free at 100 TB.)
+        dfp = (
+            df.select(*cols, *attrs)
+            .withColumn("pid", F.spark_partition_id())
+        )
+    else:
+        dfp = (
+            df.select(*cols, *attrs)
+            .repartitionByRange(n_part, "conv_id", "turn_idx")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .withColumn("pid", F.spark_partition_id())
+        )
 
     from sparkbm25.analysis import tokenize_series
 
@@ -98,6 +119,7 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
 
     def local_idx_and_tokenize(batches):
         off = 0
+        last_key = None  # (conv_id, turn_idx) of the previous batch's tail
         for pdf in batches:
             toks = tokenize_series(pdf["text"], pattern, maxlen)
             # per-row error side-output (F5, es_translator.py:264-271
@@ -120,6 +142,19 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
                     **{a: pdf[a].to_numpy() for a in attrs},
                 }
             )
+            if verify_order and len(pdf):
+                # within-partition order proof, streamed: a row whose
+                # key is <= its predecessor's (strict — duplicate keys
+                # violate the input contract) is flagged; the carried
+                # tail key covers batch boundaries
+                c, t = pdf["conv_id"], pdf["turn_idx"]
+                bad = ((c < c.shift())
+                       | ((c == c.shift()) & (t <= t.shift()))).fillna(False)
+                bad = bad.to_numpy(copy=True).astype(bool)
+                if last_key is not None:
+                    bad[0] |= (str(c.iloc[0]), int(t.iloc[0])) <= last_key
+                last_key = (str(c.iloc[-1]), int(t.iloc[-1]))
+                out["ooo"] = bad.astype(np.int32)
             off += len(pdf)
             yield out
 
@@ -131,19 +166,54 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     dfl = dfp.mapInPandas(
         local_idx_and_tokenize,
         schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
-               "tokens array<string>, dl bigint, err string" + attr_ddl,
+               "tokens array<string>, dl bigint, err string" + attr_ddl
+               + (", ooo int" if verify_order else ""),
     )
     # persist: the range partitioner samples; pin the partitioning so
     # the count job and downstream see identical placement.
     dfl = dfl.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ONE bookkeeping job: per-partition counts for the offsets AND the
-    # global stats (N, sum_dl) — no separate agg action later
+    # global stats (N, sum_dl) — no separate agg action later. In
+    # 'verify' mode the same job also returns each partition's key
+    # bounds + order flag, so the global-order proof costs no extra job.
+    aggs = [F.count(F.lit(1)).alias("count"), F.sum("dl").alias("sum_dl")]
+    if verify_order:
+        key = F.struct("conv_id", "turn_idx")
+        aggs += [F.max("ooo").alias("ooo"),
+                 F.min(key).alias("min_key"), F.max(key).alias("max_key")]
     counts = (
-        dfl.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("count"), F.sum("dl").alias("sum_dl"))
+        dfl.groupBy("pid").agg(*aggs)
         .toPandas().sort_values("pid")
     )
+    if verify_order and len(counts):
+        if int(counts["ooo"].fillna(0).max()) > 0:
+            dfl.unpersist()
+            raise ValueError(
+                "input_order='verify': rows are NOT "
+                "(conv_id, turn_idx)-sorted within at least one input "
+                "partition (or contain duplicate keys); rebuild with "
+                "input_order='shuffle'")
+        ne = counts[counts["count"] > 0].copy()
+        ne["_k"] = ne["min_key"].map(lambda r: (r["conv_id"], r["turn_idx"]))
+        ne["_K"] = ne["max_key"].map(lambda r: (r["conv_id"], r["turn_idx"]))
+        ne = ne.sort_values("_k").reset_index(drop=True)
+        for i in range(1, len(ne)):
+            if ne["_K"].iloc[i - 1] >= ne["_k"].iloc[i]:
+                dfl.unpersist()
+                raise ValueError(
+                    "input_order='verify': input partitions have "
+                    "OVERLAPPING (conv_id, turn_idx) ranges "
+                    f"(partition {int(ne['pid'].iloc[i - 1])} ends at "
+                    f"{ne['_K'].iloc[i - 1]!r}, partition "
+                    f"{int(ne['pid'].iloc[i])} starts at "
+                    f"{ne['_k'].iloc[i]!r}); rebuild with "
+                    "input_order='shuffle'")
+        # offsets assigned in GLOBAL KEY order (not pid order): the
+        # docID invariant holds for any sorted-but-unordered file list
+        order = [int(p) for p in ne["pid"]]
+        order += [int(p) for p in counts["pid"] if int(p) not in set(order)]
+        counts = counts.set_index("pid").loc[order].reset_index()
     offsets = (counts["count"].cumsum().shift(fill_value=0) + doc_ord_base).astype("int64")
     offsets_df = spark.createDataFrame(
         pd.DataFrame({"pid": counts["pid"].astype("int32"), "offset": offsets}),

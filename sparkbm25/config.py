@@ -52,6 +52,26 @@ class IndexConfig:
     # Partitions for the doc_ord assignment range-shuffle; 0 = let
     # Spark/AQE decide (defaultParallelism).
     n_doc_partitions: int = 0
+    # How the stable (conv_id, turn_idx) docID order is established:
+    #   'shuffle' — repartitionByRange + sortWithinPartitions (the
+    #               general path: works on any input order, at the cost
+    #               of shuffling the full text corpus once).
+    #   'verify'  — trust-but-verify sorted input (round 5): skip the
+    #               range shuffle entirely and keep the input's own
+    #               partitioning. The tokenize kernel checks row order
+    #               WITHIN each partition as it streams (vectorized,
+    #               carries the last key across batches) and the
+    #               existing bookkeeping job returns each partition's
+    #               (min, max) key so the driver checks partitions are
+    #               globally NON-OVERLAPPING before assigning offsets
+    #               in key order — any violation raises with guidance
+    #               to use 'shuffle'. This is the Iceberg sort-order
+    #               exploitation path: a table write-ordered by
+    #               (conv_id, turn_idx) — the natural layout for
+    #               transcripts — needs no full-corpus exchange to get
+    #               stable docIDs, it needs a proof, and the proof is
+    #               O(rows) comparisons + one tiny driver check.
+    input_order: str = "shuffle"
     # The forward (docs) table is directory-partitioned by
     # doc_block = doc_ord // doc_block_size: point resolves prune to
     # the blocks holding the requested doc_ords, and partial updates

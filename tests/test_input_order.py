@@ -1,0 +1,125 @@
+"""input_order='verify' (round 5): the sorted-input fast path.
+
+Skips the full-corpus range shuffle when the caller asserts the input
+is already (conv_id, turn_idx)-sorted — but PROVES it: the tokenize
+kernel checks within-partition order as it streams, the bookkeeping
+job returns per-partition key bounds, and the driver rejects any
+overlap before assigning offsets in key order. Segments must come out
+byte-identical to the 'shuffle' path; violations must raise, never
+silently misnumber docIDs.
+"""
+
+import os
+
+import pytest
+
+from sparkbm25 import IndexConfig, build_index
+from sparkbm25.fixtures import make_transcripts
+
+N_TURNS = 3000
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_transcripts(N_TURNS)
+
+
+def _cfg(**kw):
+    base = dict(n_term_buckets=8, n_salt_buckets=4, n_build_chunks=1,
+                n_doc_partitions=4, checkpoint_runs=False,
+                build_terms_dict=False)
+    base.update(kw)
+    return IndexConfig(**base)
+
+
+def _segments(spark, idx):
+    return (spark.read.parquet(os.path.join(idx, "segments"))
+            .toPandas().sort_values(["term", "salt"]).reset_index(drop=True))
+
+
+def test_verify_equals_shuffle_on_sorted_parquet(spark, corpus,
+                                                 tmp_path_factory):
+    """Sorted multi-file parquet input: the no-shuffle path must build
+    the exact same index (same doc_ords -> byte-identical segments)."""
+    root = str(tmp_path_factory.mktemp("inorder"))
+    src = os.path.join(root, "src")
+    # write sorted, split into 4 non-overlapping files (file order on
+    # disk is lexicographic == key order here)
+    sorted_pdf = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    step = (len(sorted_pdf) + 3) // 4
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for i in range(4):
+        part = sorted_pdf.iloc[i * step:(i + 1) * step]
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(src, f"part-{i:04d}.parquet"))
+    sdf = spark.read.parquet(src)
+
+    idx_a = os.path.join(root, "idx_shuffle")
+    idx_b = os.path.join(root, "idx_verify")
+    build_index(spark, sdf, idx_a, _cfg(input_order="shuffle"))
+    build_index(spark, sdf, idx_b, _cfg(input_order="verify"))
+    a, b = _segments(spark, idx_a), _segments(spark, idx_b)
+    assert len(a) == len(b) and len(a) > 0
+    for col in ("term", "salt", "n_docs", "term_bucket"):
+        assert (a[col].values == b[col].values).all(), col
+    for i in range(len(a)):
+        for x, y in zip(a["blocks"].iloc[i], b["blocks"].iloc[i]):
+            assert dict(x) == dict(y), a["term"].iloc[i]
+
+
+def test_verify_raises_on_unsorted_partition(spark, corpus,
+                                             tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("inorder_bad"))
+    shuffled = corpus.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    sdf = spark.createDataFrame(shuffled).coalesce(2)
+    with pytest.raises(ValueError, match="NOT .*sorted|sorted"):
+        build_index(spark, sdf, os.path.join(root, "idx"),
+                    _cfg(input_order="verify"))
+    assert not os.path.exists(os.path.join(root, "idx", "_COMPLETE"))
+
+
+def test_verify_raises_on_overlapping_partitions(spark, corpus,
+                                                 tmp_path_factory):
+    """Each file internally sorted, but their key ranges interleave —
+    the driver-side bound check must catch what the per-partition
+    order check cannot."""
+    root = str(tmp_path_factory.mktemp("inorder_overlap"))
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    s = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    even = s.iloc[0::2]  # both slices are sorted, ranges fully overlap
+    odd = s.iloc[1::2]
+    pq.write_table(pa.Table.from_pandas(even, preserve_index=False),
+                   os.path.join(src, "part-0000.parquet"))
+    pq.write_table(pa.Table.from_pandas(odd, preserve_index=False),
+                   os.path.join(src, "part-0001.parquet"))
+    sdf = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="OVERLAPPING"):
+        build_index(spark, sdf, os.path.join(root, "idx"),
+                    _cfg(input_order="verify"))
+
+
+def test_verify_with_packed_encoder(spark, corpus, tmp_path_factory):
+    """The two round-5 build optimizations compose: verified sorted
+    input (no text shuffle) + packed encoder (no occurrence shuffle) —
+    the whole build's only exchange is the varint-packed runs."""
+    root = str(tmp_path_factory.mktemp("inorder_packed"))
+    sorted_pdf = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    sdf = spark.createDataFrame(sorted_pdf).coalesce(3)
+    idx_a = os.path.join(root, "a")
+    idx_b = os.path.join(root, "b")
+    build_index(spark, spark.createDataFrame(corpus), idx_a,
+                _cfg(input_order="shuffle", encoder="stream"))
+    build_index(spark, sdf, idx_b,
+                _cfg(input_order="verify", encoder="packed"))
+    a, b = _segments(spark, idx_a), _segments(spark, idx_b)
+    assert len(a) == len(b) and len(a) > 0
+    for col in ("term", "salt", "n_docs"):
+        assert (a[col].values == b[col].values).all(), col
+    for i in range(len(a)):
+        for x, y in zip(a["blocks"].iloc[i], b["blocks"].iloc[i]):
+            assert dict(x) == dict(y), a["term"].iloc[i]
