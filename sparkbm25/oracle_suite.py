@@ -2716,7 +2716,7 @@ QUERIES = {
 # silently dropped the tail (VERDICT r3 item 6). queries()/oracle_sql()
 # therefore expose exactly 50 entries — every reference-surface and
 # scale-path operator stays in the driver-checked window, and the
-# TWENTY entries below, whose coverage is redundant with other
+# TWENTY-ONE entries below, whose coverage is redundant with other
 # checked entries (generic TPC-H-ish shapes, trivial derivations, and
 # constituent stages of checked entries), are verified by the local
 # parametrized replica (tests/test_oracle_suite.py runs the FULL
