@@ -97,6 +97,18 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         # congestion control/retransmission to break (round-5 finding,
         # BENCH/BASELINE.md)
         .config("spark.python.unix.domain.socket.enabled", "true")
+        # one input FILE per scan partition at ANY core count: with
+        # openCost == maxPartitionBytes the bin-packer closes a
+        # partition after every file. At local[2] the default packing
+        # folds the 32 sorted input files into 2 giant partitions
+        # (the verify fast path then builds from 2 tasks — measured
+        # ~40% slower than shuffle's 32 repartitioned tasks), which is
+        # a local-mode artifact: a real cluster scanning 100 TB has
+        # orders of magnitude more files than cores. Pinning the unit
+        # also makes the N-vs-4N scaling legs process IDENTICAL task
+        # layouts — only parallelism differs.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.files.openCostInBytes", "128m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

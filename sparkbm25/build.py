@@ -93,17 +93,34 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     if verify_order:
         # sorted-input fast path (round 5): NO range shuffle — the full
         # text corpus never crosses an exchange. The input's own
-        # partitioning is kept; the tokenize kernel proves each
-        # partition is internally (conv_id, turn_idx)-sorted as it
-        # streams, and the bookkeeping job below returns per-partition
-        # key bounds so the driver proves partitions are globally
-        # non-overlapping before assigning offsets in key order. Any
-        # violation raises — this is trust-but-verify, not an
-        # unchecked assumption. (Iceberg tables write-ordered by the
-        # key hit this path for free at 100 TB.)
+        # partitioning is kept; the tokenize kernel proves each input
+        # FILE is internally (conv_id, turn_idx)-sorted as it streams,
+        # and the bookkeeping job below returns per-file key bounds so
+        # the driver proves files are globally non-overlapping before
+        # assigning offsets in key order. Any violation raises — this
+        # is trust-but-verify, not an unchecked assumption.
+        #
+        # The unit is the FILE, not the Spark partition: at scale (and
+        # at low local parallelism) the scan bin-packs MANY sorted
+        # files into one FilePartition in size order, so a partition
+        # is almost never key-sorted across its file boundaries even
+        # when every file is. Rows of one file stay contiguous and
+        # in file order inside the partition stream, so the kernel
+        # segments on input_file_name() runs. (Iceberg tables
+        # write-ordered by the key hit this path for free at 100 TB —
+        # thousands of sorted, range-disjoint data files per task.)
+        # crc32(file) instead of the URI string keeps the per-row
+        # overhead at 8 bytes through the Arrow crossing; a collision
+        # between ADJACENT files in one partition can only merge two
+        # runs, and a merged run either still proves sorted (doc ords
+        # stay correct — it behaves as one larger sorted file) or
+        # RAISES — never a silent misnumber. Non-file sources yield
+        # one empty-name run per partition, i.e. the per-partition
+        # semantics.
         dfp = (
             df.select(*cols, *attrs)
             .withColumn("pid", F.spark_partition_id())
+            .withColumn("_fid", F.crc32(F.input_file_name().cast("binary")))
         )
     else:
         dfp = (
@@ -119,7 +136,9 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
 
     def local_idx_and_tokenize(batches):
         off = 0
-        last_key = None  # (conv_id, turn_idx) of the previous batch's tail
+        fseq: dict = {}      # verify: crc32(file) -> dense seq within this task
+        offs: dict = {}      # verify: seq -> next local_idx in that file
+        tails: dict = {}     # verify: seq -> (conv_id, turn_idx) tail key
         for pdf in batches:
             toks = tokenize_series(pdf["text"], pattern, maxlen)
             # per-row error side-output (F5, es_translator.py:264-271
@@ -143,18 +162,41 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
                 }
             )
             if verify_order and len(pdf):
-                # within-partition order proof, streamed: a row whose
-                # key is <= its predecessor's (strict — duplicate keys
-                # violate the input contract) is flagged; the carried
-                # tail key covers batch boundaries
+                # per-FILE order proof, streamed: the batch segments
+                # into contiguous input_file_name runs (a batch almost
+                # always holds one); within each run a row whose key is
+                # <= its predecessor's (strict — duplicate keys violate
+                # the input contract) is flagged, with the carried tail
+                # key covering batch boundaries. local_idx restarts per
+                # file so the driver can lay files out in key order.
+                fid = pdf["_fid"].to_numpy()
                 c, t = pdf["conv_id"], pdf["turn_idx"]
-                bad = ((c < c.shift())
-                       | ((c == c.shift()) & (t <= t.shift()))).fillna(False)
-                bad = bad.to_numpy(copy=True).astype(bool)
-                if last_key is not None:
-                    bad[0] |= (str(c.iloc[0]), int(t.iloc[0])) <= last_key
-                last_key = (str(c.iloc[-1]), int(t.iloc[-1]))
+                seqs = np.empty(len(pdf), dtype=np.int32)
+                local = np.empty(len(pdf), dtype=np.int64)
+                bad = np.zeros(len(pdf), dtype=bool)
+                starts = np.flatnonzero(
+                    np.r_[True, fid[1:] != fid[:-1]])
+                bounds = np.r_[starts, len(pdf)]
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    sq = fseq.setdefault(int(fid[s]), len(fseq))
+                    o = offs.get(sq, 0)
+                    local[s:e] = np.arange(o, o + (e - s), dtype=np.int64)
+                    offs[sq] = o + (e - s)
+                    seqs[s:e] = sq
+                    cc, tt = c.iloc[s:e], t.iloc[s:e]
+                    bad[s:e] = ((cc < cc.shift())
+                                | ((cc == cc.shift())
+                                   & (tt <= tt.shift()))).fillna(False)
+                    tail = tails.get(sq)
+                    if tail is not None:
+                        bad[s] |= (str(cc.iloc[0]), int(tt.iloc[0])) <= tail
+                    tails[sq] = (str(cc.iloc[-1]), int(tt.iloc[-1]))
+                out["local_idx"] = local
+                out["seq"] = seqs
                 out["ooo"] = bad.astype(np.int32)
+            elif verify_order:
+                out["seq"] = np.empty(0, dtype=np.int32)
+                out["ooo"] = np.empty(0, dtype=np.int32)
             off += len(pdf)
             yield out
 
@@ -167,24 +209,27 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
         local_idx_and_tokenize,
         schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
                "tokens array<string>, dl bigint, err string" + attr_ddl
-               + (", ooo int" if verify_order else ""),
+               + (", seq int, ooo int" if verify_order else ""),
     )
     # persist: the range partitioner samples; pin the partitioning so
     # the count job and downstream see identical placement.
     dfl = dfl.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ONE bookkeeping job: per-partition counts for the offsets AND the
-    # global stats (N, sum_dl) — no separate agg action later. In
-    # 'verify' mode the same job also returns each partition's key
-    # bounds + order flag, so the global-order proof costs no extra job.
+    # ONE bookkeeping job: per-unit counts for the offsets AND the
+    # global stats (N, sum_dl) — no separate agg action later. The
+    # unit is the partition ('shuffle') or the input FILE within a
+    # partition ('verify' — (pid, seq)); in 'verify' mode the same job
+    # also returns each file's key bounds + order flag, so the
+    # global-order proof costs no extra job.
+    unit = ["pid", "seq"] if verify_order else ["pid"]
     aggs = [F.count(F.lit(1)).alias("count"), F.sum("dl").alias("sum_dl")]
     if verify_order:
         key = F.struct("conv_id", "turn_idx")
         aggs += [F.max("ooo").alias("ooo"),
                  F.min(key).alias("min_key"), F.max(key).alias("max_key")]
     counts = (
-        dfl.groupBy("pid").agg(*aggs)
-        .toPandas().sort_values("pid")
+        dfl.groupBy(*unit).agg(*aggs)
+        .toPandas().sort_values(unit)
     )
     if verify_order and len(counts):
         if int(counts["ooo"].fillna(0).max()) > 0:
@@ -192,37 +237,42 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
             raise ValueError(
                 "input_order='verify': rows are NOT "
                 "(conv_id, turn_idx)-sorted within at least one input "
-                "partition (or contain duplicate keys); rebuild with "
+                "file (or contain duplicate keys); rebuild with "
                 "input_order='shuffle'")
-        ne = counts[counts["count"] > 0].copy()
-        ne["_k"] = ne["min_key"].map(lambda r: (r["conv_id"], r["turn_idx"]))
-        ne["_K"] = ne["max_key"].map(lambda r: (r["conv_id"], r["turn_idx"]))
-        ne = ne.sort_values("_k").reset_index(drop=True)
-        for i in range(1, len(ne)):
-            if ne["_K"].iloc[i - 1] >= ne["_k"].iloc[i]:
+        # offsets assigned in GLOBAL KEY order (not scan order): the
+        # docID invariant holds for any sorted-but-unordered file list.
+        # groupBy emits no empty units, so every row's (pid, seq) joins.
+        counts["_k"] = counts["min_key"].map(
+            lambda r: (r["conv_id"], r["turn_idx"]))
+        counts["_K"] = counts["max_key"].map(
+            lambda r: (r["conv_id"], r["turn_idx"]))
+        counts = counts.sort_values("_k").reset_index(drop=True)
+        for i in range(1, len(counts)):
+            if counts["_K"].iloc[i - 1] >= counts["_k"].iloc[i]:
                 dfl.unpersist()
                 raise ValueError(
-                    "input_order='verify': input partitions have "
+                    "input_order='verify': input files have "
                     "OVERLAPPING (conv_id, turn_idx) ranges "
-                    f"(partition {int(ne['pid'].iloc[i - 1])} ends at "
-                    f"{ne['_K'].iloc[i - 1]!r}, partition "
-                    f"{int(ne['pid'].iloc[i])} starts at "
-                    f"{ne['_k'].iloc[i]!r}); rebuild with "
-                    "input_order='shuffle'")
-        # offsets assigned in GLOBAL KEY order (not pid order): the
-        # docID invariant holds for any sorted-but-unordered file list
-        order = [int(p) for p in ne["pid"]]
-        order += [int(p) for p in counts["pid"] if int(p) not in set(order)]
-        counts = counts.set_index("pid").loc[order].reset_index()
+                    f"(one file ends at {counts['_K'].iloc[i - 1]!r}, "
+                    f"another starts at {counts['_k'].iloc[i]!r}); "
+                    "rebuild with input_order='shuffle'")
     offsets = (counts["count"].cumsum().shift(fill_value=0) + doc_ord_base).astype("int64")
-    offsets_df = spark.createDataFrame(
-        pd.DataFrame({"pid": counts["pid"].astype("int32"), "offset": offsets}),
-        schema="pid int, offset bigint",
-    )
+    # columns MUST lay out in schema order: createDataFrame(pandas,
+    # ddl-string) binds by POSITION, not name
+    if verify_order:
+        odata = pd.DataFrame({"pid": counts["pid"].astype("int32"),
+                              "seq": counts["seq"].astype("int32"),
+                              "offset": offsets})
+        oschema = "pid int, seq int, offset bigint"
+    else:
+        odata = pd.DataFrame({"pid": counts["pid"].astype("int32"),
+                              "offset": offsets})
+        oschema = "pid int, offset bigint"
+    offsets_df = spark.createDataFrame(odata, schema=oschema)
     out = (
-        dfl.join(F.broadcast(offsets_df), "pid")
+        dfl.join(F.broadcast(offsets_df), unit)
         .withColumn("doc_ord", (F.col("offset") + F.col("local_idx")).cast("bigint"))
-        .drop("offset", "local_idx")
+        .drop("offset", "local_idx", *(["seq"] if verify_order else []))
     )
     out._sparkbm25_cached = dfl  # so build_index can unpersist
     out._sparkbm25_counts = counts  # (pid, count, sum_dl) for stats

@@ -123,3 +123,64 @@ def test_verify_with_packed_encoder(spark, corpus, tmp_path_factory):
     for i in range(len(a)):
         for x, y in zip(a["blocks"].iloc[i], b["blocks"].iloc[i]):
             assert dict(x) == dict(y), a["term"].iloc[i]
+
+
+def test_verify_multi_file_partitions(spark, corpus, tmp_path_factory):
+    """The regression that broke local[2] scaling runs: the scan
+    bin-packs MANY sorted files into one FilePartition in SIZE order,
+    so a partition is not key-sorted across file boundaries even when
+    every file is. The verify unit is the FILE (input_file_name runs),
+    so the build must succeed and match the shuffle arm exactly.
+    Files are written with varying sizes so packing order differs from
+    key order; coalesce merges scan partitions deterministically."""
+    root = str(tmp_path_factory.mktemp("inorder_packfiles"))
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    s = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # 6 contiguous slices with very different sizes: size-desc
+    # bin-packing will not follow key order
+    cuts = [0, 1200, 1350, 2100, 2250, 2900, len(s)]
+    for i in range(6):
+        part = s.iloc[cuts[i]:cuts[i + 1]]
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(src, f"part-{i:04d}.parquet"))
+    sdf = spark.read.parquet(src).coalesce(2)
+    assert sdf.rdd.getNumPartitions() == 2  # >1 file per partition
+    idx_a = os.path.join(root, "a")
+    idx_b = os.path.join(root, "b")
+    build_index(spark, spark.read.parquet(src), idx_a,
+                _cfg(input_order="shuffle"))
+    build_index(spark, sdf, idx_b, _cfg(input_order="verify"))
+    a, b = _segments(spark, idx_a), _segments(spark, idx_b)
+    assert len(a) == len(b) and len(a) > 0
+    for col in ("term", "salt", "n_docs", "term_bucket"):
+        assert (a[col].values == b[col].values).all(), col
+    for i in range(len(a)):
+        for x, y in zip(a["blocks"].iloc[i], b["blocks"].iloc[i]):
+            assert dict(x) == dict(y), a["term"].iloc[i]
+
+
+def test_verify_raises_on_file_unsorted_inside_packed_partition(
+        spark, corpus, tmp_path_factory):
+    """A single UNSORTED file hiding among sorted ones in a packed
+    partition must still raise — the per-file check must not lose
+    strictness when runs share a partition."""
+    root = str(tmp_path_factory.mktemp("inorder_badfile"))
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    s = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    third = len(s) // 3
+    parts = [s.iloc[:third],
+             s.iloc[third:2 * third].sample(frac=1.0, random_state=3),
+             s.iloc[2 * third:]]
+    for i, part in enumerate(parts):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(src, f"part-{i:04d}.parquet"))
+    sdf = spark.read.parquet(src).coalesce(1)
+    with pytest.raises(ValueError, match="NOT .*sorted|sorted"):
+        build_index(spark, sdf, os.path.join(root, "idx"),
+                    _cfg(input_order="verify"))
