@@ -41,6 +41,13 @@ def main():
         .config("spark.ui.port", "4049")
         .config("spark.local.dir", os.path.join(shm, "local"))
         .config("spark.driver.memory", "48g")
+        # match bench.py's job shape exactly so the CPU-inflation
+        # correction maps onto the scaling legs: zstd shuffle blocks,
+        # UDS Arrow IPC, one input file per scan partition
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.files.openCostInBytes", "128m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -48,7 +55,9 @@ def main():
     cfg = IndexConfig(n_term_buckets=32, n_salt_buckets=8, n_build_chunks=1,
                       n_doc_partitions=max(cpus, 8),
                       checkpoint_runs=False, build_terms_dict=False,
-                      encoder=os.environ.get("SPARK_GRAFT_ENCODER", "stream"))
+                      encoder=os.environ.get("SPARK_GRAFT_ENCODER", "packed"),
+                      input_order=os.environ.get("SPARK_GRAFT_INPUT_ORDER",
+                                                 "verify"))
     idx = os.path.join(shm, f"idx_{cpus}")
     import shutil
 
