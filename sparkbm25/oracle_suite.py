@@ -2365,6 +2365,55 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_highlight_fetch(spark, sf_dir):
+    """ES fetch-phase highlighting over the flagship top-k. The
+    reference truncates content specifically "to avoid highlight
+    errors" downstream in ES (reference cli.py:171) — once the engine
+    owns the index it owns the highlighter too (highlight.py). Runs
+    search_batch for the flagship query, joins the k hits back to the
+    source (broadcast id probe), highlights in whole-field mode
+    (number_of_fragments=0), and reduces each highlighted field to
+    SQL-checkable arithmetic: n_hl = number of <em> splices (tokens
+    equal to a positive query term, case-insensitive) and hl_len =
+    length(text) + 9*n_hl ('<em>' + '</em>' is 9 chars per splice) —
+    together they pin both the token mask and the offset bookkeeping
+    of the splice against an independent SQL recount."""
+    from sparkbm25.highlight import highlight_results
+    from sparkbm25.search import search_batch
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qtext = " ".join(BM25_TERMS)
+    queries = pd.DataFrame(
+        {"query_id": [0], "query_text": [qtext], "k": [TOPK]})
+    hits = search_batch(spark, index_dir, queries, k=TOPK, mode="or")
+    hl = highlight_results(hits, docs_as_transcripts(spark, sf_dir),
+                           qtext, number_of_fragments=0)
+    frag = F.element_at("highlight", 1)
+    return hl.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        (F.size(F.split(frag, "<em>", -1)) - F.lit(1)).cast("int")
+        .alias("n_hl"),
+        F.length(frag).cast("int").alias("hl_len"),
+    )
+
+
+_HL_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+SQL_HIGHLIGHT_FETCH = f"""
+WITH topk AS ({_bm25_sql(BM25_TERMS, "or")}),
+hl AS (
+  SELECT topk.doc_id, topk.rank,
+         len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+                         t -> t IN ({_HL_TERMS_IN}))) AS n_hl,
+         length(d.text) AS tlen
+  FROM topk JOIN documents d USING (doc_id)
+)
+SELECT doc_id, rank, CAST(n_hl AS INT) AS n_hl,
+       CAST(tlen + 9 * n_hl AS INT) AS hl_len
+FROM hl
+"""
+
+
 RANGE_LO, RANGE_HI = 100, 299
 
 
@@ -2677,6 +2726,7 @@ QUERIES = {
     "bm25_mixed_range": (q_bm25_mixed_range, SQL_BM25_MIXED_RANGE),
     "bm25_boost": (q_bm25_boost, SQL_BM25_BOOST),
     "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
+    "highlight_fetch": (q_highlight_fetch, SQL_HIGHLIGHT_FETCH),
     "lang_alpha_map": (q_lang_alpha_map, SQL_LANG_ALPHA_MAP),
     "truncate_build": (q_truncate_build, SQL_TRUNCATE_BUILD),
     "bm25_incremental": (q_bm25_incremental, SQL_BM25_TOPK),
@@ -2716,7 +2766,7 @@ QUERIES = {
 # silently dropped the tail (VERDICT r3 item 6). queries()/oracle_sql()
 # therefore expose exactly 50 entries — every reference-surface and
 # scale-path operator stays in the driver-checked window, and the
-# TWENTY-ONE entries below, whose coverage is redundant with other
+# TWENTY-TWO entries below, whose coverage is redundant with other
 # checked entries (generic TPC-H-ish shapes, trivial derivations, and
 # constituent stages of checked entries), are verified by the local
 # parametrized replica (tests/test_oracle_suite.py runs the FULL
@@ -2789,6 +2839,17 @@ EXCLUDED_FROM_DRIVER = (
                                  # the stream-built flagship covered
                                  # (plus 20+ other driver entries
                                  # build with encoder='stream')
+    "highlight_fetch",           # presentation layer OVER the driver-
+                                 # checked bm25_topk/bm25_packed path
+                                 # (same index, same ranked hits); the
+                                 # highlight kernel itself is oracle-
+                                 # checked by the local replica (mask
+                                 # count + splice-length arithmetic vs
+                                 # a DuckDB recount) and unit-tested
+                                 # per leaf kind in tests/
+                                 # test_highlight.py — excluding it
+                                 # keeps every pre-existing ★ in the
+                                 # 50-entry driver window
 )
 DRIVER_QUERIES = {k: v for k, v in QUERIES.items()
                   if k not in EXCLUDED_FROM_DRIVER}
