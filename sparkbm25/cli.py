@@ -133,9 +133,20 @@ def cmd_search(args) -> int:
     s = Searcher(spark, args.index)
     t0 = time.time()
     out = s.search(args.query, k=args.k, mode=args.mode)
+    if args.highlight:
+        if not args.input:
+            print("search --highlight needs --input (the index stores "
+                  "ids, not text — pass the transcripts table)",
+                  file=sys.stderr)
+            return 2
+        out = s.highlight(out, _read_input(spark, args), args.query,
+                          fragment_size=args.fragment_size,
+                          number_of_fragments=args.n_fragments)
     elapsed = time.time() - t0
     for row in out.itertuples(index=False):
         print(f"{row.rank:4d}  {row.score:12.6f}  {row.conv_id}:{row.turn_idx}")
+        for frag in (getattr(row, "highlight", None) or []):
+            print(f"      | {frag}")
     print(f"# {len(out)} hits in {elapsed:.3f}s", file=sys.stderr)
     return 0
 
@@ -298,6 +309,15 @@ def main(argv=None) -> int:
     ps.add_argument("--query", required=True)
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--mode", choices=["or", "and"], default="or")
+    ps.add_argument("--highlight", action="store_true",
+                    help="fetch-phase highlighting (needs --input)")
+    ps.add_argument("--input", default=None,
+                    help="transcripts table for --highlight text fetch")
+    ps.add_argument("--format", choices=["parquet", "json", "csv"],
+                    default="parquet")
+    ps.add_argument("--fragment-size", type=int, default=150)
+    ps.add_argument("--n-fragments", type=int, default=1,
+                    help="0 = whole-field mode")
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
 

@@ -209,6 +209,51 @@ def highlight_frame(
         index=texts.index, dtype=object)
 
 
+def highlight_hits(
+    source,
+    hits: pd.DataFrame,
+    query_text: str,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    fragment_size: int = 150,
+    number_of_fragments: int = 1,
+) -> pd.DataFrame:
+    """Interactive fetch phase: ``hits`` is the k-row pandas frame a
+    ``Searcher.search`` returned (conv_id, turn_idx, ...), ``source``
+    the transcripts DataFrame. Returns ``hits`` plus a ``highlight``
+    column (list of fragments, or None).
+
+    The text probe is ONE Spark job with both id columns pushed as
+    isin predicates — at 100 TB that's parquet row-group pruning down
+    to the ≤k hit conversations, not a scan; the k texts then
+    highlight driver-side in microseconds (same kernel as the batch
+    ``highlight_results`` path, analyzer parity by construction)."""
+    from pyspark.sql import functions as F
+
+    out = hits.reset_index(drop=True).copy()
+    if out.empty:
+        out["highlight"] = pd.Series([], dtype=object)
+        return out
+    conv_ids = sorted(set(out["conv_id"].tolist()))
+    turn_idxs = sorted({int(t) for t in out["turn_idx"].tolist()})
+    pairs = set(zip(out["conv_id"], out["turn_idx"].astype(int)))
+    rows = (source.select("conv_id", "turn_idx", "text")
+            .where(F.col("conv_id").isin(conv_ids))
+            .where(F.col("turn_idx").isin(turn_idxs))
+            .collect())
+    textmap = {(r["conv_id"], int(r["turn_idx"])): r["text"]
+               for r in rows if (r["conv_id"], int(r["turn_idx"])) in pairs}
+    texts = pd.Series(
+        [textmap.get((c, int(t)))
+         for c, t in zip(out["conv_id"], out["turn_idx"])],
+        dtype=object)
+    out["highlight"] = highlight_frame(
+        texts, query_text, token_pattern, pre_tag, post_tag,
+        fragment_size, number_of_fragments)
+    return out
+
+
 def highlight_results(
     results,
     source,

@@ -2589,6 +2589,22 @@ class Searcher:
             results = self._maxscore_or(cursors, k, k1, b, avgdl)
         return self._format_results(results)
 
+    def highlight(self, hits: pd.DataFrame, source, query_text: str,
+                  **kw) -> pd.DataFrame:
+        """Fetch-phase highlighting for an interactive result: returns
+        ``hits`` plus a ``highlight`` fragment-list column. The index
+        drops stored text at build time (forward table carries ids +
+        attrs only), so — like the reference's ES `_source` reads —
+        the caller supplies the transcripts ``source`` DataFrame; the
+        probe pushes both id columns into the scan and the kernel runs
+        driver-side over the k texts (highlight.highlight_hits).
+        Keyword args: pre_tag, post_tag, fragment_size,
+        number_of_fragments (0 = whole field)."""
+        from sparkbm25.highlight import highlight_hits
+
+        kw.setdefault("token_pattern", self.cfg.token_pattern)
+        return highlight_hits(source, hits, query_text, **kw)
+
     def _dense_topk(self, cursors: list[_Cursor], k: int, k1: float,
                     b: float, avgdl: float) -> list:
         """Exhaustive scoring (_score_all's dense OR path) + exact

@@ -26,6 +26,22 @@ def test_cli_search(built, capsys):
     assert out[0].strip().startswith("1")
 
 
+def test_cli_search_highlight(spark, built, tmp_path, capsys):
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(make_transcripts(1000)).write.parquet(src)
+    rc = cli.main(["search", "--index", built, "--query", "alpha w0001",
+                   "-k", "3", "--highlight", "--input", src,
+                   "--n-fragments", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "<em>" in out
+    capsys.readouterr()
+    # --highlight without --input is a usage error, not a crash
+    rc = cli.main(["search", "--index", built, "--query", "alpha",
+                   "--highlight"])
+    assert rc == 2
+
+
 def test_cli_monitor(built, capsys):
     rc = cli.main(["monitor", "--index", built])
     assert rc == 0

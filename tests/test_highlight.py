@@ -173,6 +173,49 @@ def test_highlight_results_matches_kernel(spark):
     assert out[0].rank == 1 and out[0].score == 2.0
 
 
+@pytest.fixture(scope="module")
+def hl_index(spark, tmp_path_factory):
+    from sparkbm25 import IndexConfig, build_index
+    from sparkbm25.fixtures import make_transcripts
+
+    d = str(tmp_path_factory.mktemp("hl") / "idx")
+    src = spark.createDataFrame(make_transcripts(400, seed=7))
+    build_index(spark, src, d, IndexConfig(), input_desc="hl400")
+    return d, src
+
+
+def test_searcher_highlight_interactive(spark, hl_index):
+    from sparkbm25.search import Searcher
+
+    d, src = hl_index
+    s = Searcher(spark, d)
+    q = "w0001 w0005"
+    hits = s.search(q, k=5)
+    assert len(hits) > 0
+    out = s.highlight(hits, src, q, number_of_fragments=0)
+    assert len(out) == len(hits)
+    assert list(out.columns) == list(hits.columns) + ["highlight"]
+    # an OR hit contains at least one query term, so every hit
+    # highlights; whole-field mode splices the original text
+    for frags in out["highlight"]:
+        assert frags is not None and len(frags) == 1
+        assert "<em>" in frags[0]
+    # ranks and scores pass through untouched
+    assert out["rank"].tolist() == hits["rank"].tolist()
+    assert out["score"].tolist() == hits["score"].tolist()
+
+
+def test_searcher_highlight_empty_hits(spark, hl_index):
+    from sparkbm25.search import Searcher
+
+    d, src = hl_index
+    s = Searcher(spark, d)
+    hits = s.search("zzzznope", k=5)
+    assert len(hits) == 0
+    out = s.highlight(hits, src, "zzzznope")
+    assert len(out) == 0 and "highlight" in out.columns
+
+
 def test_highlight_results_broadcasts_the_k_rows(spark):
     src = spark.createDataFrame(
         [("c1", 0, "spark")], "conv_id string, turn_idx int, text string")
