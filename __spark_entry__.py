@@ -6,7 +6,7 @@ entry(spark)   — flagship: full engine path (inverted-index build over
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-pipeline extras), each (spark, sf_dir) -> DF.
                  Exactly 50 entries: the driver samples the first 50,
-                 so the 21 redundant-coverage entries listed in
+                 so the 22 redundant-coverage entries listed in
                  oracle_suite.EXCLUDED_FROM_DRIVER are exposed only to
                  the local full-registry replica (COVERAGE.md).
 oracle_sql()   — DuckDB-equivalent SQL per query, identical aliases.

@@ -58,6 +58,38 @@ def ensure_input(n_turns: int, n_files: int = 32) -> str:
     return path
 
 
+def effective_parallelism(cpus: int) -> float:
+    """Measured effective core count: the same pure-python busy loop
+    timed at 1 process and at `cpus` processes — perfect scaling gives
+    `cpus`, a hypervisor delivering fewer physical cores than the
+    advertised vCPUs gives less. Late round 5 this VM dropped from
+    near-linear 32-proc scaling (documented in BENCH/BASELINE.md r4
+    scaling analysis) to ~16 effective cores, which collapsed the
+    local[32] build 108-178k -> ~33k turns/s while local[16] still
+    hit ~100k (BENCH/r5/overcommit_ab.json). ~1s, runs before Spark
+    starts (fork-safe)."""
+    import multiprocessing as mp
+
+    n = 20_000_000
+    _busy(n // 4)             # spin the governor up before timing
+    t0 = time.time()
+    _busy(n)
+    t1 = max(time.time() - t0, 1e-3)
+    with mp.Pool(cpus) as p:
+        p.map(_busy, [n // 10] * cpus)   # absorb fork + import cost
+        t0 = time.time()
+        p.map(_busy, [n] * cpus)
+        tn = max(time.time() - t0, 1e-3)
+    return cpus * t1 / tn
+
+
+def _busy(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
     from pyspark.sql import SparkSession
 
@@ -76,8 +108,22 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
     # stand-in for that.
     shm = "/dev/shm/sparkbm25_bench"
     os.makedirs(shm, exist_ok=True)
+    # task-slot sizing against MEASURED host capacity: a production
+    # cluster sizes executor slots to physical cores; this VM's
+    # hypervisor sometimes delivers far fewer cores than the 32 it
+    # advertises (late-r5 window: ~16 effective), and running 32 task
+    # threads + 32 python workers on ~16 cores collapsed the build
+    # 2.7x (BENCH/r5/overcommit_ab.json: 33k plain vs 89k with
+    # task.cpus=2 vs 115k local[16], interleaved). The master stays
+    # the contracted local[$SPARK_GRAFT_CPUS]; task.cpus widens per-
+    # task reservations so CONCURRENT tasks match measured capacity.
+    # Full-capacity hosts probe ~cpus -> task_cpus=1 (no change).
+    eff = effective_parallelism(cpus)
+    task_cpus = 1 if eff >= 0.75 * cpus else max(
+        2, min(4, round(cpus / eff)))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.task.cpus", str(task_cpus))
         .appName(f"sparkbm25-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
         .config("spark.sql.session.timeZone", "UTC")
@@ -230,6 +276,12 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         "load_avg_per_rep": loads,
         "queries_warm": warm_times,
         "cpus": cpus,
+        # measured host capacity + the task-slot width chosen from it
+        # (see the spark.task.cpus comment above): a degraded record
+        # is self-describing instead of silently misattributing the
+        # hypervisor's missing cores to the plan
+        "host_effective_cores": round(eff, 1),
+        "task_cpus": task_cpus,
     }
     # surface the recorded N-vs-4N scaling evidence (BENCH/scaling_run.py,
     # the north_rule two-cluster-size substitute) in the one-line JSON
