@@ -11,6 +11,7 @@ import re
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from sparkbm25.highlight import (
@@ -107,6 +108,56 @@ def test_splice_roundtrip_and_length(text):
     assert n == len(re.findall(r"(?i)(?<![a-z0-9])spark(?![a-z0-9])", text))
     assert len(hl) == len(text) + 9 * n
     assert hl.replace("<em>", "").replace("</em>", "") == text
+
+
+_words = st.text(alphabet="abcdeé .,!-\n", min_size=0, max_size=120)
+_qterms = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4), min_size=1,
+    max_size=3)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_words, _qterms)
+def test_property_whole_field_splice_invariants(text, terms):
+    """Whole-field mode, arbitrary text × term queries: stripping the
+    tags recovers the original text byte-for-byte, the splice count
+    equals an independent regex recount, and the length arithmetic
+    (len + 9 per splice) holds — the same three invariants the
+    highlight_fetch oracle checks against DuckDB at scale."""
+    frags = one(text, " ".join(terms), **NOF0)
+    uniq = set(terms)
+    expected = sum(
+        1 for tok in re.findall("[a-z0-9]+", text.lower()) if tok in uniq)
+    if frags is None:
+        assert expected == 0 or not text
+        return
+    hl = frags[0]
+    assert hl.replace("<em>", "").replace("</em>", "") == text
+    assert hl.count("<em>") == hl.count("</em>") == expected
+    assert len(hl) == len(text) + 9 * expected
+
+
+@settings(max_examples=60, deadline=None)
+@given(_words, _qterms, st.integers(min_value=1, max_value=4),
+       st.integers(min_value=10, max_value=60))
+def test_property_fragments_bounded_ordered_substrings(
+        text, terms, nfrag, fsize):
+    """Fragment mode: every fragment is a tag-splice of a substring of
+    the original text, fragments appear in document order, and each
+    covers at most fragment_size source characters."""
+    frags = one(text, " ".join(terms), fragment_size=fsize,
+                number_of_fragments=nfrag)
+    if frags is None:
+        return
+    assert 1 <= len(frags) <= nfrag
+    pos = 0
+    for f in frags:
+        raw = f.replace("<em>", "").replace("</em>", "")
+        assert len(raw) <= fsize
+        at = text.find(raw, pos)
+        assert at >= 0          # substring, in document order
+        pos = at + max(len(raw), 1)
+        assert "<em>" in f      # every window anchors on a match
 
 
 # ---------------------------------------------------------------------------
