@@ -293,7 +293,8 @@ def run_bench(sf_dir: str, cpus: int, out_index: str | None = None) -> dict:
         out["scaling"] = {
             k: s[k] for k in s
             if k.startswith("turns_per_sec_local")
-            or k in ("efficiency", "scaling_factor", "n_turns")
+            or k in ("efficiency", "scaling_factor", "n_turns",
+                     "target", "pass")
         }
     return out
 
