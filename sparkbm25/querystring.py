@@ -206,8 +206,12 @@ _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 # and a -/+/! occur prefix may precede the whole quoted leaf
 # (`-"a b"` — round 4 lexed that into an unbalanced-quote error)
 _TOKEN_RE = re.compile(
+    # the ~slop suffix lexes GREEDILY (any run up to whitespace/paren/
+    # boost) and is validated as an integer at parse time: `"a b"~x` /
+    # `"a b"~2.5` must RAISE, not leave `x`/`.5` behind as a scoring
+    # term (the round-4 slop-as-term bug class)
     r'[-+!]?(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*"'
-    r'(?:~[0-9]+)?(?:\^[0-9]*\.?[0-9]+)?'
+    r'(?:~[^\s()^"]*)?(?:\^[0-9]*\.?[0-9]+)?'
     # Lucene regexp `/pat/` (optionally field-scoped / occur-prefixed /
     # boosted) lexes WHOLE: the body may contain spaces and parens, and
     # a literal `/` inside is written `\/` (Lucene regexp escaping)
@@ -216,7 +220,7 @@ _TOKEN_RE = re.compile(
     r'|\(|\)'
     r'|[^\s()"]+:[\[{][^\]}]*[\]}]'
     r'|[^\s()]+')
-_PHRASE_RE = re.compile(r'^"([^"]*)"(?:~([0-9]+))?$')
+_PHRASE_RE = re.compile(r'^"([^"]*)"(?:~([^\s()^"]*))?$')
 _RANGE_RE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$",
                        re.IGNORECASE)
 # ES query_string one-sided range shorthand: field:>V >=V <V <=V
@@ -705,9 +709,17 @@ class _Parser:
             if pm is None:
                 raise ValueError(f"unbalanced quote in token {t!r}")
             self.explicit = True
-            slop = int(pm.group(2) or 0)
+            slop_s = pm.group(2)
+            if slop_s is not None and not slop_s.isdigit():
+                # `"a b"~x`, `"a b"~2.5`, `"a b"~-1`, bare `"a b"~`:
+                # Lucene slop is a non-negative integer — raise instead
+                # of letting the leftover suffix re-tokenize into a
+                # scoring term (round-4 slop-as-term bug class)
+                raise ValueError(
+                    f"phrase slop in {t!r} must be a non-negative "
+                    "integer (\"a b\"~2)")
             return Phrase(_analyze(pm.group(1), self.token_pattern),
-                          boost, slop)
+                          boost, int(slop_s or 0))
         rm = _REGEXP_RE.match(t)
         if rm:
             # `/pat/` — Lucene regexp query: anchored full-term match
@@ -751,6 +763,18 @@ class _Parser:
             raise ValueError(
                 f"fuzzy edit distance in {t!r} must be 0-2 "
                 "(Lucene fuzzy-query maximum)")
+        if "~" in t:
+            # any other unescaped `~` the fuzzy/phrase grammar did not
+            # consume (`foo~x`, a standalone `~2` split off a phrase by
+            # whitespace, `te*t~1`): `~` is a Lucene operator — raise
+            # instead of analyzing it away into bare terms (`foo~x`
+            # silently became Term(foo) AND Term(x), dropping the
+            # fuzzy). A literal tilde is written `\~` (escapes resolve
+            # to sentinels before lexing, so they never reach here).
+            raise ValueError(
+                f"malformed '~' suffix in token {t!r}: expected "
+                "term~N (fuzzy, N=0-2) or \"a b\"~N (phrase slop); "
+                "escape a literal tilde as \\~")
         wm = _WILDCARD_RE.match(t.lower())
         if wm:
             # `te*t` / `t?st` — Lucene wildcard query (round-4 split

@@ -58,6 +58,33 @@ def test_parser_text_scoped_and_slop():
     assert p.filters == [("role", "user")] and p.text == "alpha"
 
 
+def test_malformed_tilde_suffix_raises():
+    """A `~` the fuzzy/phrase grammar can't consume RAISES — it must
+    never re-tokenize into scoring terms (late-round-5: `\"a b\"~x`
+    parsed as Phrase AND Term('x'), `\"a b\"~2.5` left Term('5')
+    behind the greedy `~2`, and `foo~x` dropped the fuzzy entirely,
+    analyzing to Term(foo) AND Term(x))."""
+    import pytest
+
+    from sparkbm25.querystring import Fuzzy, Term
+
+    for q in ('"a b"~x', '"a b"~2.5', '"a b"~-1', '"a b"~',
+              '"a b"~2x', 'w1 "a b"~1.5'):
+        with pytest.raises(ValueError, match="slop"):
+            parse_query_string(q)
+    for q in ("foo~x", "~2", '"a b" ~2', "a~b~c"):
+        with pytest.raises(ValueError, match="malformed '~'"):
+            parse_query_string(q)
+    with pytest.raises(ValueError, match="fuzzy edit distance"):
+        parse_query_string("te*t~1")
+    # escaped tilde is literal punctuation to the analyzer, never the
+    # operator; valid suffixes keep working
+    p = parse_query_string(r"a\~b")
+    assert all(isinstance(c, Term) for c in p.tree.children)
+    assert isinstance(parse_query_string("foo~").tree, Fuzzy)
+    assert parse_query_string('"a b"~10').tree.slop == 10
+
+
 def test_parser_wildcard():
     """`te*t`/`t?st` parse as Wildcard leaves (round-4 silently split
     them into bare terms); trailing-star-only stays the range-banded
