@@ -206,17 +206,18 @@ _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 # and a -/+/! occur prefix may precede the whole quoted leaf
 # (`-"a b"` — round 4 lexed that into an unbalanced-quote error)
 _TOKEN_RE = re.compile(
-    # the ~slop suffix lexes GREEDILY (any run up to whitespace/paren/
-    # boost) and is validated as an integer at parse time: `"a b"~x` /
-    # `"a b"~2.5` must RAISE, not leave `x`/`.5` behind as a scoring
-    # term (the round-4 slop-as-term bug class)
+    # the ~slop and ^boost suffixes lex GREEDILY (any run up to
+    # whitespace/paren/quote) and are validated at parse time:
+    # `"a b"~x` / `"a b"~2.5` / `"a b"^2x` must RAISE, not leave
+    # `x`/`.5` behind as a scoring term (the round-4 slop-as-term
+    # bug class)
     r'[-+!]?(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*"'
-    r'(?:~[^\s()^"]*)?(?:\^[0-9]*\.?[0-9]+)?'
+    r'(?:~[^\s()^"]*)?(?:\^[^\s()"]*)?'
     # Lucene regexp `/pat/` (optionally field-scoped / occur-prefixed /
     # boosted) lexes WHOLE: the body may contain spaces and parens, and
     # a literal `/` inside is written `\/` (Lucene regexp escaping)
     r'|[-+!]?(?:[A-Za-z_][A-Za-z0-9_]*:)?/(?:[^/\\]|\\.)+/'
-    r'(?:\^[0-9]*\.?[0-9]+)?'
+    r'(?:\^[^\s()"]*)?'
     r'|\(|\)'
     r'|[^\s()"]+:[\[{][^\]}]*[\]}]'
     r'|[^\s()]+')
@@ -691,6 +692,17 @@ class _Parser:
                 if (val.startswith('"') and val.endswith('"')
                         and len(val) >= 2):
                     val = val[1:-1]   # role:"user" — ES quoted value
+                elif "^" in val and not (
+                        val.startswith("/") and val.endswith("/")):
+                    # `role:user^x`: the valid-boost strip already ran
+                    # (role:user^2 never reaches here), so a leftover
+                    # unquoted `^` is a malformed boost — raise rather
+                    # than keep it in the equality value, which would
+                    # silently match nothing. Quoted values and
+                    # `/regexp/` values keep `^` literal.
+                    raise ValueError(
+                        f"malformed '^' boost in filter value {t!r}: "
+                        "a boost is leaf^FLOAT at the end of a clause")
                 return Filter(fld, val)
             if fld in TEXT_FIELDS:
                 # field-scoped full-text: strip the scope and parse
@@ -707,7 +719,9 @@ class _Parser:
         if t.startswith('"'):
             pm = _PHRASE_RE.match(t)
             if pm is None:
-                raise ValueError(f"unbalanced quote in token {t!r}")
+                raise ValueError(
+                    f"unbalanced quote or malformed ~slop/^boost "
+                    f"suffix in token {t!r}")
             self.explicit = True
             slop_s = pm.group(2)
             if slop_s is not None and not slop_s.isdigit():
@@ -739,6 +753,21 @@ class _Parser:
             to_portable(pat)        # raises on unsupported operators
             self.explicit = True
             return Regexp(pat, boost)
+        if "^" in t:
+            # an unescaped `^` the valid-boost strip above did not
+            # consume (`foo^x`, `foo^-2`, `foo^`, doubled `foo^2^3`,
+            # `"a b"^2x`'s leftover): `^` is the Lucene boost operator
+            # — raise instead of analyzing the junk away into bare
+            # scoring terms (group/phrase boosts already raised; the
+            # bare-term path silently re-tokenized). A literal caret
+            # is written `\^` (escapes resolve to sentinels before
+            # lexing, so they never reach here). Placed AFTER the
+            # regexp branch: `^` inside `/pat/` is a Lucene-literal
+            # regexp char.
+            raise ValueError(
+                f"malformed '^' boost in token {t!r}: a boost is "
+                "leaf^FLOAT at the end of a clause; escape a literal "
+                "caret as \\^")
         pm = _PREFIX_RE.match(t)
         if pm:
             # `spar*` — Lucene prefix query: expands against the term

@@ -85,6 +85,36 @@ def test_malformed_tilde_suffix_raises():
     assert parse_query_string('"a b"~10').tree.slop == 10
 
 
+def test_malformed_boost_suffix_raises():
+    """Same contract for `^`: a boost the valid-boost strip can't
+    consume RAISES everywhere, not just after groups/phrases
+    (late-round-5: `foo^x` analyzed into Term(foo) AND Term(x),
+    `foo^` silently dropped the caret, and the lexer's numeric-only
+    phrase/regexp boost suffix left `"a b"^2x`'s `x` behind as a
+    scoring term). `^` inside `/regexp/`, quoted filter values, and
+    escaped `\\^` stay literal."""
+    import pytest
+
+    from sparkbm25.querystring import Phrase, Regexp
+
+    for q in ("foo^x", "foo^", "foo^-2", "foo^2.5.6", "foo^2^3",
+              "foo^2x", "/ab/^2x", "role:user^x", "te^t*"):
+        with pytest.raises(ValueError, match="boost"):
+            parse_query_string(q)
+    with pytest.raises(ValueError, match="malformed ~slop/\\^boost"):
+        parse_query_string('"a b"^2x')
+    # valid boosts and literal carets are untouched
+    assert parse_query_string("foo^2.5").tree.boost == 2.5
+    p = parse_query_string('"a b"~1^2.5').tree
+    assert isinstance(p, Phrase) and p.slop == 1 and p.boost == 2.5
+    r = parse_query_string("/a^b/^2").tree
+    assert isinstance(r, Regexp) and r.pattern == "a^b" and r.boost == 2
+    assert parse_query_string('role:/us^r/').filters == [
+        ("role", "/us^r/")]
+    assert parse_query_string('role:"us^er"').filters == [
+        ("role", "us^er")]
+
+
 def test_parser_wildcard():
     """`te*t`/`t?st` parse as Wildcard leaves (round-4 silently split
     them into bare terms); trailing-star-only stays the range-banded
