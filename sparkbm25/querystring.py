@@ -703,6 +703,16 @@ class _Parser:
                     raise ValueError(
                         f"malformed '^' boost in filter value {t!r}: "
                         "a boost is leaf^FLOAT at the end of a clause")
+                # validate the value NOW by compiling the pure-python
+                # twin predicate (no Spark needed): malformed ranges,
+                # non-integer numeric bounds, bad ISO/date-math ts
+                # bounds, and regexp/wildcard-on-numeric all raise at
+                # parse time. Deferring to the execution compile left
+                # a hole: a query whose scoring terms miss the
+                # dictionary early-returns EMPTY before the filter
+                # ever compiles, silently swallowing the typo
+                # (`absentterm AND conv_id:[x TO` returned 0 rows).
+                python_filter([(fld, val)])
                 return Filter(fld, val)
             if fld in TEXT_FIELDS:
                 # field-scoped full-text: strip the scope and parse
@@ -1176,6 +1186,16 @@ def _one_predicate(fld: str, val: str) -> Column:
         if hi != "*":
             cond = cond & ((col <= bound(hi)) if hi_inc else (col < bound(hi)))
         return cond
+    if val[:1] in ("[", "{"):
+        # a bracket-led value the range grammar rejected (`role:[a TO]`,
+        # `role:[]`, a lexer-truncated `conv_id:[x`): raise — falling
+        # through to literal equality would silently match nothing
+        # (keyword values never start with an unescaped bracket; `\[`
+        # resolves to a sentinel before lexing). Numeric/ts fields
+        # already raised in bound(); this closes the keyword path.
+        raise ValueError(
+            f"malformed range in filter value {fld}:{val!r}: expected "
+            "[lo TO hi] / {lo TO hi} (either bound may be *)")
     m = _SIMPLE_RANGE_RE.match(val)
     if m:
         op, v = m.group(1), bound(m.group(2))
@@ -1277,6 +1297,12 @@ def python_filter(filters: list[tuple[str, str]],
                              or (cur <= hi if hi_inc else cur < hi)))
 
             return rng
+        if val[:1] in ("[", "{"):
+            # twin of _one_predicate's malformed-range guard
+            raise ValueError(
+                f"malformed range in filter value {fld}:{val!r}: "
+                "expected [lo TO hi] / {lo TO hi} (either bound may "
+                "be *)")
         m = _SIMPLE_RANGE_RE.match(val)
         if m:
             op, want = m.group(1), coerce(m.group(2))

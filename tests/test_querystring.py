@@ -478,6 +478,35 @@ def test_range_filter_condition_numeric(spark):
         df.where(filter_condition([("turn_idx", "[a TO b]")])).count()
 
 
+def test_malformed_range_values_raise():
+    """A bracket-led filter value the range grammar rejects RAISES in
+    BOTH predicate compilers — on keyword fields it previously fell
+    through to literal equality and silently matched nothing
+    (`role:[a TO]`, `role:[]`, the lexer-truncated `conv_id:[x` of an
+    unclosed `conv_id:[x TO`). Numeric/ts fields already raised via
+    the bound coercion; well-formed ranges are untouched."""
+    import pytest as _pytest
+
+    from sparkbm25.querystring import filter_condition, python_filter
+
+    for val in ("[a TO]", "[]", "[a b]", "[x", "{a TO b", "[TO 5]"):
+        with _pytest.raises(ValueError, match="malformed range"):
+            filter_condition([("role", val)])
+        with _pytest.raises(ValueError, match="malformed range"):
+            python_filter([("role", val)])
+    # well-formed keyword ranges still compile
+    filter_condition([("role", "[a TO z]"), ("conv_id", "{c1 TO c9}")])
+    python_filter([("role", "[a TO z]"), ("conv_id", "{c1 TO c9}")])
+    # and the validation runs at PARSE time, not first-compile: a
+    # query whose scoring terms miss the dictionary early-returns
+    # before the filter compiles, which used to swallow the typo
+    for q in ("absentterm AND conv_id:[x TO", "w1 AND role:[a TO]",
+              "w1 AND turn_idx:[1 TO]", "w1 AND ts:>nonsense"):
+        with _pytest.raises(ValueError,
+                            match="malformed range|expects an"):
+            parse_query_string(q)
+
+
 def test_parser_fuzz_new_surface():
     """The round-3 lexer additions (ranges, boosts, fuzzy, prefix)
     never crash the parser on junk and never mis-lex quoted phrases."""
