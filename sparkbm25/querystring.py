@@ -876,8 +876,23 @@ class _Parser:
                     f"{fld}:(...) field groups support OR'd values "
                     f"only, got operator {t!r} (write top-level "
                     f"conjuncts for AND/NOT of predicates)")
+            bm = _BOOST_RE.match(t)
+            if bm and not bm.group(1).endswith("]"):
+                # `role:(user^2 OR tool)` — boost consumed-and-ignored
+                # like the single-filter path: filters never score
+                t = bm.group(1)
             if t.startswith('"') and t.endswith('"') and len(t) >= 2:
                 t = t[1:-1]
+            elif "^" in t and not (t.startswith("/") and t.endswith("/")):
+                # same malformed-boost contract as single filters:
+                # `role:(user OR x^y)` must not keep the junk in the
+                # equality value and silently match nothing
+                raise ValueError(
+                    f"malformed '^' boost in {fld}:(...) group value "
+                    f"{t!r}: a boost is leaf^FLOAT at the end of a "
+                    "clause")
+            # parse-time validation, same as the single-filter path
+            python_filter([(fld, t)])
             vals.append(t)
         if not vals:
             raise ValueError(f"empty {fld}:() field group")

@@ -505,6 +505,14 @@ def test_malformed_range_values_raise():
         with _pytest.raises(ValueError,
                             match="malformed range|expects an"):
             parse_query_string(q)
+    # field-group members validate identically to single filters:
+    # boosts strip (filters never score), junk raises, values coerce
+    p = parse_query_string("role:(user^2 OR tool)")
+    assert p.filters == [(("role", "user"), ("role", "tool"))]
+    for q in ("role:(user OR x^y)", "turn_idx:(1 OR x)",
+              "ts:(now OR nonsense)"):
+        with _pytest.raises(ValueError):
+            parse_query_string(q)
 
 
 def test_parser_fuzz_new_surface():
