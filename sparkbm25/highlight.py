@@ -165,11 +165,16 @@ def highlight_text(
             if taken[i]:
                 continue
             lo = starts[i]
-            inside = (~taken) & (starts >= lo) & (ends <= lo + fragment_size)
+            # fragment_size is a SOFT bound (ES semantics): the anchor
+            # token itself always fits its own window, so a matched
+            # token longer than fragment_size still emits a fragment
+            # instead of the whole hit silently losing its highlight
+            wend = max(lo + fragment_size, int(ends[i]))
+            inside = (~taken) & (starts >= lo) & (ends <= wend)
             n = int(inside.sum())
             if n > best_n:
                 best, best_n, best_i = (int(lo), int(
-                    min(len(text), lo + fragment_size))), n, i
+                    min(len(text), wend))), n, i
         if best is None:
             break
         lo, hi = best

@@ -192,6 +192,23 @@ def test_fragment_size_bounds_each_fragment():
         assert len(f) <= 50 + 9  # one splice of tags per window here
 
 
+def test_anchor_token_longer_than_fragment_size_still_emits():
+    """fragment_size is a soft bound (ES unified-highlighter
+    semantics): a matched token longer than the window must still
+    emit a fragment, not silently drop the hit's highlight (late
+    round 5: no window could contain the anchor and the whole field
+    returned None)."""
+    frags = one("supercalifragilistic", "supercalifragilistic",
+                fragment_size=5, number_of_fragments=1)
+    assert frags == ["<em>supercalifragilistic</em>"]
+    # the soft bound only stretches to the anchor's own end; short
+    # neighbors outside the hard window stay out
+    frags = one("supercalifragilistic and more words here",
+                "supercalifragilistic words", fragment_size=5,
+                number_of_fragments=1)
+    assert frags == ["<em>supercalifragilistic</em>"]
+
+
 def test_more_fragments_requested_than_matches():
     frags = one("only spark here", "spark", fragment_size=20,
                 number_of_fragments=5)
