@@ -132,7 +132,13 @@ def cmd_search(args) -> int:
     spark = _spark(args.master, "sparkbm25-search")
     s = Searcher(spark, args.index)
     t0 = time.time()
-    out = s.search(args.query, k=args.k, mode=args.mode)
+    try:
+        out = s.search(args.query, k=args.k, mode=args.mode)
+    except ValueError as e:
+        # the grammar raises on malformed queries by design (never a
+        # silent re-tokenize) — surface the message, not a traceback
+        print(f"query error: {e}", file=sys.stderr)
+        return 2
     if args.highlight:
         if not args.input:
             print("search --highlight needs --input (the index stores "

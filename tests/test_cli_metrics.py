@@ -26,6 +26,15 @@ def test_cli_search(built, capsys):
     assert out[0].strip().startswith("1")
 
 
+def test_cli_search_malformed_query_clean_error(built, capsys):
+    """The grammar raises on malformed queries by design; the CLI
+    reports the message on stderr and exits 2 — no traceback."""
+    rc = cli.main(["search", "--index", built, "--query", '"a b"~x'])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "query error:" in err and "slop" in err
+
+
 def test_cli_search_highlight(spark, built, tmp_path, capsys):
     src = str(tmp_path / "src.parquet")
     spark.createDataFrame(make_transcripts(1000)).write.parquet(src)
