@@ -422,6 +422,72 @@ def _unescape(s: str) -> str:
                    else chr(ord(m.group(0)) - 0xE000)), s)
 
 
+_QUOTED_META = "[]{}<>*?/"
+
+
+def _literalize_quoted(val: str) -> str:
+    """Map the chars the predicate compilers would INTERPRET (range
+    brackets, simple-range `<`/`>` leads, wildcards, the `/regexp/`
+    delimiters) to their escape sentinels: an ES quoted filter value
+    (`role:"[admin]"`) is a LITERAL term — never a range, wildcard,
+    regexp, or exists query. The compilers' equality paths unescape
+    sentinels back to the literal chars (same mechanism as `\\[`)."""
+    return "".join(chr(0xE000 + ord(c)) if c in _QUOTED_META else c
+                   for c in val)
+
+
+def _filter_value(fld: str, val: str) -> str:
+    """THE contract for a structured-filter VALUE — shared by the
+    single `field:value` path and `field:(...)` group members (any
+    valid trailing ^boost was already stripped; filters never score).
+    Late round 5 hand-rolled this in two places and the copies
+    diverged: the group path missed the quote-suffix hole and the
+    single path let `role:user~2` ride junk into the equality value.
+
+    * a quoted value unquotes to LITERAL equality (interpreted chars
+      sentinel-ize via _literalize_quoted — `role:"[admin]"` is
+      equality on the nine literal chars, not a malformed range), and
+      a leftover suffix after the closing quote (`role:"user"~2`)
+      RAISES instead of keeping the quotes+junk in the equality value
+      and silently matching nothing;
+    * an unconsumed `~` RAISES: fuzziness/slop never applies to
+      filter-context equality here (ES would fuzzy-match
+      `role:user~1`; this engine doesn't implement keyword fuzzing,
+      and silently requiring the literal token `user~2` is the
+      round-4 silent-misparse class). `/regexp/` values keep `~`
+      (a Lucene regexp operator) and `^` literal;
+    * an unconsumed `^` RAISES (malformed boost — the valid-boost
+      strip already ran);
+    * the pure-python twin predicate compiles NOW so malformed
+      ranges, numeric/ts bounds, and regexp dialect errors raise at
+      PARSE time (deferring left the early-return hole where an
+      absent scoring term swallowed the typo).
+    """
+    if val.startswith('"'):
+        end = val.find('"', 1)
+        if end < 0:
+            raise ValueError(
+                f"unbalanced quote in filter value {fld}:{val!r}")
+        if end != len(val) - 1:
+            raise ValueError(
+                f"malformed suffix {val[end + 1:]!r} after quoted "
+                f"filter value {fld}:{val!r}: ~/^ junk never applies "
+                "to filter-context equality")
+        val = _literalize_quoted(val[1:-1])
+    elif not (val.startswith("/") and val.endswith("/") and len(val) >= 2):
+        if "^" in val:
+            raise ValueError(
+                f"malformed '^' boost in filter value {fld}:{val!r}: "
+                "a boost is leaf^FLOAT at the end of a clause")
+        if "~" in val:
+            raise ValueError(
+                f"malformed '~' suffix in filter value {fld}:{val!r}: "
+                "fuzziness/slop does not apply to filter-context "
+                "equality (escape a literal tilde as \\~)")
+    python_filter([(fld, val)])
+    return val
+
+
 def _substitute_escapes(q: str) -> str:
     """Resolve `\\X` escapes before lexing. Tracks three contexts:
     NORMAL (substitute), a quoted phrase (substitute — `\\"` must not
@@ -688,32 +754,10 @@ class _Parser:
                         f"indexed field: {sorted(FILTER_FIELDS | TEXT_FIELDS)}")
                 return Filter("_exists_", target)
             if fld in FILTER_FIELDS:
-                val = m.group(2)
-                if (val.startswith('"') and val.endswith('"')
-                        and len(val) >= 2):
-                    val = val[1:-1]   # role:"user" — ES quoted value
-                elif "^" in val and not (
-                        val.startswith("/") and val.endswith("/")):
-                    # `role:user^x`: the valid-boost strip already ran
-                    # (role:user^2 never reaches here), so a leftover
-                    # unquoted `^` is a malformed boost — raise rather
-                    # than keep it in the equality value, which would
-                    # silently match nothing. Quoted values and
-                    # `/regexp/` values keep `^` literal.
-                    raise ValueError(
-                        f"malformed '^' boost in filter value {t!r}: "
-                        "a boost is leaf^FLOAT at the end of a clause")
-                # validate the value NOW by compiling the pure-python
-                # twin predicate (no Spark needed): malformed ranges,
-                # non-integer numeric bounds, bad ISO/date-math ts
-                # bounds, and regexp/wildcard-on-numeric all raise at
-                # parse time. Deferring to the execution compile left
-                # a hole: a query whose scoring terms miss the
-                # dictionary early-returns EMPTY before the filter
-                # ever compiles, silently swallowing the typo
-                # (`absentterm AND conv_id:[x TO` returned 0 rows).
-                python_filter([(fld, val)])
-                return Filter(fld, val)
+                # the shared value contract: quoted→literal equality,
+                # unconsumed ~/^ raise, python-twin parse-time
+                # validation — see _filter_value
+                return Filter(fld, _filter_value(fld, m.group(2)))
             if fld in TEXT_FIELDS:
                 # field-scoped full-text: strip the scope and parse
                 # the remainder as a normal text leaf (term / prefix /
@@ -734,11 +778,14 @@ class _Parser:
                     f"suffix in token {t!r}")
             self.explicit = True
             slop_s = pm.group(2)
-            if slop_s is not None and not slop_s.isdigit():
+            if slop_s is not None and not re.fullmatch(r"[0-9]+", slop_s):
                 # `"a b"~x`, `"a b"~2.5`, `"a b"~-1`, bare `"a b"~`:
                 # Lucene slop is a non-negative integer — raise instead
                 # of letting the leftover suffix re-tokenize into a
-                # scoring term (round-4 slop-as-term bug class)
+                # scoring term (round-4 slop-as-term bug class).
+                # [0-9] fullmatch, NOT str.isdigit: isdigit accepts
+                # non-ASCII digits ('¹') that int() then rejects with
+                # a raw 'invalid literal' message instead of this one
                 raise ValueError(
                     f"phrase slop in {t!r} must be a non-negative "
                     "integer (\"a b\"~2)")
@@ -881,19 +928,8 @@ class _Parser:
                 # `role:(user^2 OR tool)` — boost consumed-and-ignored
                 # like the single-filter path: filters never score
                 t = bm.group(1)
-            if t.startswith('"') and t.endswith('"') and len(t) >= 2:
-                t = t[1:-1]
-            elif "^" in t and not (t.startswith("/") and t.endswith("/")):
-                # same malformed-boost contract as single filters:
-                # `role:(user OR x^y)` must not keep the junk in the
-                # equality value and silently match nothing
-                raise ValueError(
-                    f"malformed '^' boost in {fld}:(...) group value "
-                    f"{t!r}: a boost is leaf^FLOAT at the end of a "
-                    "clause")
-            # parse-time validation, same as the single-filter path
-            python_filter([(fld, t)])
-            vals.append(t)
+            # the same shared value contract as the single-filter path
+            vals.append(_filter_value(fld, t))
         if not vals:
             raise ValueError(f"empty {fld}:() field group")
         nodes: list[Node] = [Filter(fld, v) for v in vals]
@@ -1205,9 +1241,12 @@ def _one_predicate(fld: str, val: str) -> Column:
         # a bracket-led value the range grammar rejected (`role:[a TO]`,
         # `role:[]`, a lexer-truncated `conv_id:[x`): raise — falling
         # through to literal equality would silently match nothing
-        # (keyword values never start with an unescaped bracket; `\[`
-        # resolves to a sentinel before lexing). Numeric/ts fields
-        # already raised in bound(); this closes the keyword path.
+        # (keyword values never start with an unescaped bracket: `\[`
+        # resolves to a sentinel before lexing, and a QUOTED value's
+        # brackets sentinel-ize at parse time via _literalize_quoted,
+        # so `role:"[admin]"` is literal equality, never this raise).
+        # Numeric/ts fields already raised in bound(); this closes
+        # the keyword path.
         raise ValueError(
             f"malformed range in filter value {fld}:{val!r}: expected "
             "[lo TO hi] / {lo TO hi} (either bound may be *)")

@@ -115,6 +115,68 @@ def test_malformed_boost_suffix_raises():
         ("role", "us^er")]
 
 
+def test_filter_value_tilde_suffix_raises():
+    """The ~ contract extends to FILTER values (final-round review
+    finding): `role:user~2` compiled to literal equality against
+    'user~2' — silent match-nothing, the exact class the late-round
+    hardening claimed to close — and `role:"user"~2` even kept the
+    QUOTES in the equality value. Both paths (single filter, group
+    member) now share _filter_value and raise."""
+    import pytest
+
+    for q in ('role:user~2', 'role:"user"~2', 'role:"user"~x',
+              'role:user~', 'role:(user~2 OR tool)',
+              'role:("user"~2 OR tool)', 'conv_id:c0001~1'):
+        with pytest.raises(ValueError, match="malformed.*suffix"):
+            parse_query_string(q)
+    # a literal tilde works escaped or quoted; regexp values keep ~
+    assert parse_query_string(r'role:us\~er').filters == [
+        ("role", "user")]
+    assert parse_query_string('role:"us~er"').filters == [
+        ("role", "us~er")]
+    # regexp values bypass the suffix check (the ~ belongs to the
+    # regexp dialect, which owns its own validation: bare ~ is
+    # Lucene's unsupported complement operator, \~ is literal)
+    assert parse_query_string(r'role:/a\~b/').filters == [
+        ("role", r"/a\~b/")]
+
+
+def test_quoted_filter_value_is_literal():
+    """An ES quoted filter value is a LITERAL term: `role:"[admin]"`
+    must compile to equality on the nine chars (final-round review
+    finding: the bracket-led malformed-range guard fired on it), and
+    quoted wildcards/regexp delimiters stay literal too. The
+    interpreted chars sentinel-ize at parse time; both predicate
+    compilers unescape them back at equality."""
+    from sparkbm25.querystring import python_filter
+
+    for q, field, match_row, miss_row in [
+        ('role:"[admin]"', "role", {"role": "[admin]"}, {"role": "admin"}),
+        ('conv_id:"{x}"', "conv_id", {"conv_id": "{x}"}, {"conv_id": "x"}),
+        ('role:"u*er"', "role", {"role": "u*er"}, {"role": "user"}),
+        ('role:"/usr/"', "role", {"role": "/usr/"}, {"role": "usr"}),
+        ('role:(">x" OR tool)', "role", {"role": ">x"}, {"role": "zz"}),
+    ]:
+        p = parse_query_string(q)
+        flat = [p.filters[0][0]] if isinstance(p.filters[0][0], tuple) \
+            else p.filters
+        pred = python_filter(flat)
+        assert pred(match_row) is True, q
+        assert pred(miss_row) is False, q
+    # the Spark-side compiler shares bound()'s unescape, and the
+    # twin-vs-Catalyst agreement is covered by the escape/regexp
+    # grammar fuzz (test_query_fuzz) and the filtered-search e2e tests
+
+
+def test_phrase_slop_nonascii_digit_message():
+    """str.isdigit accepts '¹' which int() then rejects with a raw
+    'invalid literal' message; the slop validator must own the error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="non-negative integer"):
+        parse_query_string('"a b"~¹')
+
+
 def test_parser_wildcard():
     """`te*t`/`t?st` parse as Wildcard leaves (round-4 silently split
     them into bare terms); trailing-star-only stays the range-banded
