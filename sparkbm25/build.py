@@ -568,11 +568,18 @@ def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
     sizing a 100 TB cluster run uses, that is a few hundred MB/task —
     the same order the Tungsten sort buffers today.
 
-    Correctness invariants: input rows are doc_ord-ascending within
-    the partition (assign_doc_ords range-shuffles then sorts), token
-    order inside a list IS position order, and a (term, doc) pair
-    lives in exactly one partition — so tf completes map-side and a
-    stable sort on term codes keeps (doc, pos) order inside groups."""
+    Correctness invariants: token order inside a list IS position
+    order, and a (term, doc) pair lives in exactly one partition
+    (shuffle mode ranges on the key; verify mode's files are proven
+    range-disjoint) — so tf completes map-side. Shuffle-mode
+    partitions are doc_ord-ascending, so a stable sort on term codes
+    keeps (doc, pos) order inside groups; verify-mode partitions can
+    jump down at bin-packed file boundaries (and their doc ranges
+    interleave ACROSS partitions), which the kernel detects (one
+    np.diff scan) and handles by splitting packed rows on the
+    monotonic file segment — every emitted row stays a sorted,
+    globally range-disjoint run, which is what the reduce-side
+    min_doc concatenation merge requires."""
 
     def pack(batches):
         import pyarrow as pa
@@ -612,7 +619,33 @@ def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
         dict_arr = pc.dictionary_encode(flat)
         codes = dict_arr.indices.to_numpy(zero_copy_only=False)
         vocab = dict_arr.dictionary
-        order = np.argsort(codes, kind="stable")
+        s_seg = None
+        if docs_d.size > 1 and np.any(np.diff(docs_d) < 0):
+            # input_order='verify' partitions are doc-ascending within
+            # each FILE run but the scan bin-packs files in SIZE order,
+            # so doc_ord jumps DOWN at file boundaries AND one
+            # partition's doc ranges INTERLEAVE with another's (the
+            # exact case test_verify_multi_file_partitions builds). A
+            # plain stable code-argsort then emits unsorted docs inside
+            # groups (negative run deltas wrapping through uint64) —
+            # and even sorted, one row per (term, salt) would break the
+            # reduce side, which concatenates rows as DISJOINT
+            # min_doc-ordered RANGES (final-round review finding).
+            # Both restore at once by splitting on the monotonic
+            # segment: each down-jump starts a new seg (== file run,
+            # globally range-disjoint by the verify proof), the sort
+            # adds doc as secondary key (stability keeps within-doc
+            # position order), and seg joins the group-change criterion
+            # so each packed row spans ONE segment. The common case
+            # (shuffle mode, or verify with one file run per partition)
+            # pays only the np.diff scan.
+            seg = np.zeros(docs_d.size, dtype=np.int64)
+            seg[1:] = np.cumsum(np.diff(docs_d) < 0)
+            occ_seg = np.repeat(seg, counts)
+            order = np.lexsort((occ_doc, codes))
+            s_seg = occ_seg[order]
+        else:
+            order = np.argsort(codes, kind="stable")
         s_codes = codes[order]
         s_doc = occ_doc[order]
         s_dl = occ_dl[order]
@@ -624,6 +657,8 @@ def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
         change[0] = True
         if n > 1:
             change[1:] = (s_codes[1:] != s_codes[:-1]) | (salt[1:] != salt[:-1])
+            if s_seg is not None:
+                change[1:] |= s_seg[1:] != s_seg[:-1]
         gstarts = np.flatnonzero(change)
         go_occ = np.append(gstarts, n).astype(np.int64)
         G = gstarts.size
@@ -724,6 +759,37 @@ def _make_merge_encoder(k1: float, b: float, avgdl: float, block_size: int,
         carry = None  # {"term_pa", "salt", "docs", "tfs", "dls", "pos"}
 
         def emit(terms_pa, salts, docs, tfs, dls, go, positions=None):
+            # Rows of a group concatenated by min_doc are doc-DISJOINT
+            # but not always span-disjoint: a verify-mode partition
+            # whose bin-packed files happen to concatenate ascending
+            # (files 0,2,4) triggers no map-side segment split, yet its
+            # one packed row SPANS another partition's file (1) — so
+            # the concatenation is out of order even though every row
+            # is sorted (final-round review finding; also covers the
+            # adjacent-crc-collision merged-run corner). Detect the
+            # interior down-jump and re-sort runs within each group —
+            # one np.diff scan when clean, which is the common case.
+            L = docs.size
+            if L > 1:
+                interior = np.ones(L - 1, dtype=bool)
+                interior[go[1:-1] - 1] = False
+                if ((np.diff(docs) < 0) & interior).any():
+                    gid = np.repeat(np.arange(go.size - 1), np.diff(go))
+                    perm = np.lexsort((docs, gid))
+                    if with_pos:
+                        # permute the occurrence stream at run
+                        # granularity (run i owns its tf positions)
+                        old_off = np.concatenate(
+                            ([0], np.cumsum(tfs)))[:-1]
+                        lens = tfs[perm]
+                        starts = old_off[perm]
+                        out_off = np.concatenate(
+                            ([0], np.cumsum(lens)))[:-1]
+                        idx = (np.arange(positions.size)
+                               - np.repeat(out_off, lens)
+                               + np.repeat(starts, lens))
+                        positions = positions[idx]
+                    docs, tfs, dls = docs[perm], tfs[perm], dls[perm]
             kw = {}
             if with_pos:
                 occ_off = np.concatenate(

@@ -663,6 +663,30 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
     return out
 
 
+def _union_sum(alldocs: np.ndarray, allsc: np.ndarray,
+               n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Union-sum concatenated (doc, contribution) streams into
+    (unique docs, per-doc score sums) — the shared tail of the hot-OR
+    exhaustive path and _merge_parts (the two copies had drifted to
+    different positivity guards; final-round review). Dense
+    bincount+flatnonzero when the corpus is small enough relative to
+    the stream — but flatnonzero(dense) == the matched-doc set only
+    when every contribution is strictly positive (BM25 contribs are,
+    unless a pathological ^0 boost zeroes one — the min() check
+    catches exactly that); otherwise the sparse unique + add.at
+    reduction. Module-level (n_docs passed in) so duck-typed test
+    stubs of the driver algorithms need no extra surface."""
+    if (n_docs <= max(8 * alldocs.size, 1 << 20)
+            and float(allsc.min(initial=1.0)) > 0.0):
+        dense = np.bincount(alldocs, weights=allsc, minlength=n_docs)
+        uniq = np.flatnonzero(dense)
+        return uniq, dense[uniq]
+    uniq, inv = np.unique(alldocs, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, allsc)
+    return uniq, sums
+
+
 def _flatten_tree(tree) -> tuple[dict[str, float], str] | None:
     """Flatten an explicit boolean tree into (term -> summed boost,
     'or'|'and') when — and only when — the tree is a bag of positive
@@ -983,13 +1007,21 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
                 slot_csr.append((flat - int(uniq_t[s]), offs))
             repeated = False  # distinct tidx by construction; the
             # repeated-TERM case is what matters for the sloppy
-            # kernel: two slots of the same term share raw positions
-            if slop > 0 and m == 2:
-                a, b_ = slot_csr[0][0], slot_csr[1][0]
-                # same term in both slots ⇔ identical raw streams
-                repeated = (a.size == b_.size
-                            and bool(np.array_equal(
-                                a + int(uniq_t[0]), b_ + int(uniq_t[1]))))
+            # kernel: two slots of the same term share raw positions.
+            # ALL slot pairs are checked, not just m==2 (final-round
+            # review finding: '"foo bar foo"~2' skipped the distinct-
+            # assignment path and accepted a doc with ONE foo token
+            # filling both slots, diverging from the driver path's
+            # len(set(terms)) < m). Identical raw streams ⇔ same term:
+            # one doc position holds one token, so two DIFFERENT terms
+            # can never produce equal streams (the first flat element
+            # of a pair always belongs to the same doc).
+            if slop > 0 and m >= 2:
+                raws = [slot_csr[s][0] + int(uniq_t[s]) for s in range(m)]
+                repeated = any(
+                    raws[i].size == raws[j].size
+                    and bool(np.array_equal(raws[i], raws[j]))
+                    for i in range(m) for j in range(i + 1, m))
             keep = _verify_phrase_sets(slot_csr, uniq_t, slop, repeated)
             if not keep.any():
                 return no_match
@@ -2018,21 +2050,8 @@ class Searcher:
             # one scalar multiply over the cached unit vector — the
             # per-query BM25 vector math was the warm-filtered hot spot
             parts_s.append(c.weight * c.tp.unit_scores(k1, b, avgdl))
-        alldocs = np.concatenate(parts_d)
-        allsc = np.concatenate(parts_s)
-        # flatnonzero(dense) == the matched-doc set only when every
-        # contribution is strictly positive (BM25 contribs are, unless
-        # a pathological ^0 boost zeroes a cursor — then fall through)
-        if (self.n_docs <= max(8 * alldocs.size, 1 << 20)
-                and all(c.weight > 0 for c in cursors if c.total > 0)):
-            dense = np.bincount(alldocs, weights=allsc,
-                                minlength=self.n_docs)
-            uniq = np.flatnonzero(dense)
-            return uniq, dense[uniq]
-        uniq, inv = np.unique(alldocs, return_inverse=True)
-        sums = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(sums, inv, allsc)
-        return uniq, sums
+        return _union_sum(np.concatenate(parts_d),
+                          np.concatenate(parts_s), self.n_docs)
 
     # score-ordered filter probing: chunk growth factor / start / caps.
     # Probes stop as soon as k survivors exist; a highly selective
@@ -2054,8 +2073,6 @@ class Searcher:
         resolve (conv_id, turn_idx) rides along for free. Returns
         None when the driver bound or the probe budget says the
         distributed path should run instead."""
-        from sparkbm25.querystring import python_filter
-
         docs_df = self._forward_docs()
         missing_f = {c for c in qs_filter_columns(parsed.filters,
                                                   parsed.neg_filters)
@@ -2244,18 +2261,9 @@ class Searcher:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         if len(parts) == 1:
             return parts[0]
-        alldocs = np.concatenate([d for d, _ in parts])
-        allsc = np.concatenate([s for _, s in parts])
-        if (self.n_docs <= max(8 * alldocs.size, 1 << 20)
-                and float(allsc.min(initial=1.0)) > 0.0):
-            dense = np.bincount(alldocs, weights=allsc,
-                                minlength=self.n_docs)
-            uniq = np.flatnonzero(dense)
-            return uniq, dense[uniq]
-        uniq, inv = np.unique(alldocs, return_inverse=True)
-        sums = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(sums, inv, allsc)
-        return uniq, sums
+        return _union_sum(np.concatenate([d for d, _ in parts]),
+                          np.concatenate([s for _, s in parts]),
+                          self.n_docs)
 
     def _format_results(self, results: list) -> pd.DataFrame:
         """[(score, doc_ord)] → (rank, conv_id, turn_idx, score) with
@@ -2483,10 +2491,17 @@ class Searcher:
             if cnf is not None:
                 pos_groups, neg_groups = cnf
                 if (len(pos_groups) == 1 and not neg_groups
-                        and all(lv[0] != "phrase" for lv in pos_groups[0])):
+                        and all(lv[0] not in ("phrase", "matchall")
+                                for lv in pos_groups[0])):
                     # plain OR-of-expandable-leaves: the theta-pruned
                     # MaxScore/WAND algorithms are faster than the
-                    # full-union CNF evaluator
+                    # full-union CNF evaluator. matchall must NOT take
+                    # this route (final-round review finding): a
+                    # `+filter should-term` rewrite leaves
+                    # Or([Term, MatchAll]), which _expand_to_weights
+                    # cannot expand (IndexError) and whose semantics —
+                    # the group matches EVERY doc — live in
+                    # _search_cnf's optional split / the batch path
                     flat = (self._expand_to_weights(pos_groups[0]), "or")
                 else:
                     out = self._search_cnf(parsed, pos_groups,

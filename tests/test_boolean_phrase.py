@@ -591,3 +591,67 @@ def test_phrase_boost_parses_and_runs(spark, built):
     assert plain["conv_id"].tolist() == boosted["conv_id"].tolist()
     np.testing.assert_allclose(boosted["score"].astype(float),
                                3.0 * plain["score"].astype(float), rtol=1e-9)
+
+
+def test_phrase_slop_repeated_term_three_slots(spark, tmp_path):
+    """m>2 sloppy phrases with a REPEATED term must take the
+    distinct-assignment path on the BATCH side too (final-round
+    review finding: verify_leaf only detected repetition at m==2, so
+    '"foo bar foo"~2' accepted a doc whose single foo token filled
+    both foo slots — diverging from the driver path and the oracle)."""
+    t = make_transcripts(40, seed=21)
+    crafted = {
+        0: "foo bar zzz",                 # single foo: must NOT match
+        1: "foo bar foo",                 # exact: matches
+        2: "foo baz bar zap foo",         # spans within slop 2
+        3: "bar foo qux",                 # missing second foo
+    }
+    t = t.copy()
+    for i, txt in crafted.items():
+        t.loc[i, "text"] = txt
+    d = str(tmp_path / "idx3slot")
+    build_index(
+        spark, spark.createDataFrame(t), d,
+        IndexConfig(store_positions=True, checkpoint_runs=False,
+                    n_term_buckets=4, n_salt_buckets=2),
+        input_desc="slop3")
+    texts = {(r.conv_id, r.turn_idx): r.text.lower()
+             for r in t.itertuples(index=False)}
+    qt = '"foo bar foo"~2'
+    expect = _sloppy_docs(texts, ["foo", "bar", "foo"], 2)
+    q = pd.DataFrame({"query_id": [0], "query_text": [qt], "k": [100]})
+    got = search_batch(spark, d, q, k=100).toPandas()
+    got_keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+    assert got_keys == expect
+    single = (t.loc[0, "conv_id"], int(t.loc[0, "turn_idx"]))
+    assert single not in got_keys
+    # the interactive driver path must agree with the batch path
+    s = Searcher(spark, d)
+    drv = s.search(qt, k=100)
+    assert {(r.conv_id, r.turn_idx)
+            for r in drv.itertuples()} == got_keys
+
+
+def test_plus_filter_with_should_term_on_driver(spark, built):
+    """`+role:user term` parses to And([Filter, Or([Term, MatchAll])])
+    — the `+` required-clause rewrite. The single-OR-group driver
+    shortcut must NOT feed the matchall sentinel into the dictionary
+    expansion (final-round review finding: IndexError); the query
+    routes to a path that implements the SHOULD-under-MUST semantics
+    and matches the batch answer."""
+    t, d, texts = built
+    w = t["text"].iloc[5].lower().split()[1]
+    qt = f"+role:user {w}"
+    s = Searcher(spark, d)
+    drv = s.search(qt, k=30)
+    q = pd.DataFrame({"query_id": [0], "query_text": [qt], "k": [30]})
+    bat = (search_batch(spark, d, q, k=30).toPandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert [(r.conv_id, r.turn_idx) for r in drv.itertuples()] == \
+        [(r.conv_id, r.turn_idx) for r in bat.itertuples()]
+    np.testing.assert_allclose(drv["score"].to_numpy(),
+                               bat["score"].to_numpy(), rtol=1e-9)
+    roles = {(r.conv_id, r.turn_idx): r.role
+             for r in t.itertuples(index=False)}
+    assert all(roles[(r.conv_id, r.turn_idx)] == "user"
+               for r in drv.itertuples())

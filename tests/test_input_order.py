@@ -184,3 +184,48 @@ def test_verify_raises_on_file_unsorted_inside_packed_partition(
     with pytest.raises(ValueError, match="NOT .*sorted|sorted"):
         build_index(spark, sdf, os.path.join(root, "idx"),
                     _cfg(input_order="verify"))
+
+
+@pytest.mark.parametrize("store_positions", [False, True])
+def test_verify_multi_file_partitions_packed_encoder(
+        spark, corpus, tmp_path_factory, store_positions):
+    """encoder='packed' under verify-mode bin-packed partitions
+    (final-round review finding): the pack kernel assumed partitions
+    are doc_ord-ascending, but verify mode only guarantees that WITHIN
+    each file run — size-ordered bin-packing makes doc_ord jump down
+    at file boundaries, which silently produced negative run deltas
+    (uint64 wrap) and unsorted block docs. The kernel must detect the
+    non-monotonic partition and lexsort (term code, doc); segments
+    must stay byte-identical to the shuffle+stream arm, positions
+    included."""
+    root = str(tmp_path_factory.mktemp(
+        f"inorder_packed_{int(store_positions)}"))
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    s = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # same size-skewed contiguous slices as the stream-encoder pack
+    # test: packing order != key order
+    cuts = [0, 1200, 1350, 2100, 2250, 2900, len(s)]
+    for i in range(6):
+        part = s.iloc[cuts[i]:cuts[i + 1]]
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(src, f"part-{i:04d}.parquet"))
+    sdf = spark.read.parquet(src).coalesce(2)
+    assert sdf.rdd.getNumPartitions() == 2  # >1 file per partition
+    idx_a = os.path.join(root, "a")
+    idx_b = os.path.join(root, "b")
+    build_index(spark, spark.read.parquet(src), idx_a,
+                _cfg(input_order="shuffle", encoder="stream",
+                     store_positions=store_positions))
+    build_index(spark, sdf, idx_b,
+                _cfg(input_order="verify", encoder="packed",
+                     store_positions=store_positions))
+    a, b = _segments(spark, idx_a), _segments(spark, idx_b)
+    assert len(a) == len(b) and len(a) > 0
+    for col in ("term", "salt", "n_docs", "term_bucket"):
+        assert (a[col].values == b[col].values).all(), col
+    for i in range(len(a)):
+        for x, y in zip(a["blocks"].iloc[i], b["blocks"].iloc[i]):
+            assert dict(x) == dict(y), a["term"].iloc[i]
