@@ -46,6 +46,7 @@ LANGUAGES: list[tuple[str, str, str]] = [
     ("az", "aze", "Azerbaijani"),
     ("ba", "bak", "Bashkir"),
     ("be", "bel", "Belarusian"),
+    ("bh", "bih", "Bihari languages"),
     ("bi", "bis", "Bislama"),
     ("bm", "bam", "Bambara"),
     ("bo", "bod", "Tibetan"),

@@ -77,7 +77,13 @@ def _leaf_matchers(tree, token_pattern: str = DEFAULT_TOKEN_PATTERN):
                 for ch in leaf.pattern)
             regexes.append(re.compile(body + r"\Z"))
         elif isinstance(leaf, qs.Regexp):
-            regexes.append(re.compile(to_portable(leaf.pattern) + r"\Z"))
+            # (?:...) wrap before the \Z anchor — to_portable's output
+            # may contain top-level alternation, where a bare suffix
+            # anchor binds only to the LAST branch (`cat|dog\Z`
+            # highlighted 'category'; final-round review). The scoring
+            # paths wrap the same way (search.py ^(?:...)$).
+            regexes.append(
+                re.compile("(?:" + to_portable(leaf.pattern) + r")\Z"))
         elif isinstance(leaf, qs.Fuzzy):
             fuzzies.append((leaf.term, int(leaf.max_edits)))
     if not (exact or prefixes or regexes or fuzzies):
@@ -170,6 +176,21 @@ def highlight_text(
             # token longer than fragment_size still emits a fragment
             # instead of the whole hit silently losing its highlight
             wend = max(lo + fragment_size, int(ends[i]))
+            # passages never overlap (ES unified highlighter): an
+            # untaken anchor BEFORE a chosen window previously opened
+            # a window across it, emitting the same source chars (and
+            # <em> spans) in two fragments — final-round review. Clip
+            # at the next chosen window's start; drop anchors whose
+            # own token straddles a chosen window.
+            overlap = False
+            for clo, chi in chosen:
+                if lo < chi and int(ends[i]) > clo:
+                    overlap = True
+                    break
+                if clo >= lo:
+                    wend = min(wend, clo)
+            if overlap or wend <= lo:
+                continue
             inside = (~taken) & (starts >= lo) & (ends <= wend)
             n = int(inside.sum())
             if n > best_n:

@@ -630,18 +630,34 @@ class _Parser:
         # filter semantics — a predicate never becomes a SHOULD clause)
         filterish = [p for p in opts if _is_filterish(p)]
         opts = [p for p in opts if not _is_filterish(p)]
+        # MUST_NOT clauses gate unconditionally too (final-round
+        # review: `+apple -banana` demoted Not(banana) into the
+        # SHOULD group, where the MatchAll sentinel folded it away —
+        # docs containing the EXCLUDED term were accepted). Lucene's
+        # occur model: `-x` is MUST_NOT whether or not `+` appears.
+        nots = [p for p in opts if isinstance(p, Not)]
+        opts = [p for p in opts if not isinstance(p, Not)]
         if not opts:
-            flat = musts + filterish
+            flat = musts + filterish + nots
             return flat[0] if len(flat) == 1 else And(flat)
-        return And(musts + filterish + [Or(opts + [_match_all()])])
+        return And(musts + filterish + nots + [Or(opts + [_match_all()])])
 
     def unary(self) -> Node | _Must | None:
         t = self.peek()
+        # the lexer splits `-(a b)` / `+(a b)` into a BARE `-`/`+`
+        # token followed by `(` — previously the bare token fell to
+        # atom(), analyzed to nothing, and silently DROPPED, turning
+        # the user's negated group into a required conjunction
+        # (final-round review; `!(a b)` already worked because `!`
+        # alone is an operator token)
+        nxt = self.toks[self.i + 1] if (t is not None
+                                        and self.i + 1 < len(self.toks)) else None
+        bare_neg = t == "-" and nxt == "("
         if t is not None and (
-                t.upper() in ("NOT", "!")
+                t.upper() in ("NOT", "!") or bare_neg
                 or (t[0] in "-!" and len(t) > 1)):
             self.explicit = True
-            if t.upper() in ("NOT", "!"):
+            if t.upper() in ("NOT", "!") or bare_neg:
                 self.next()
             else:
                 self.toks[self.i] = t[1:]
@@ -649,6 +665,13 @@ class _Parser:
             if isinstance(inner, _Must):
                 inner = inner.child      # `-+x` ≡ -x (occur flags don't stack)
             return Not(inner) if inner is not None else None
+        if t == "+" and nxt == "(":
+            self.explicit = True
+            self.next()
+            inner = self.unary()
+            if inner is None or isinstance(inner, (_Must, Not)):
+                return inner
+            return _Must(inner)
         if t is not None and t.startswith("+") and len(t) > 1:
             self.explicit = True
             self.toks[self.i] = t[1:]
@@ -789,8 +812,15 @@ class _Parser:
                 raise ValueError(
                     f"phrase slop in {t!r} must be a non-negative "
                     "integer (\"a b\"~2)")
-            return Phrase(_analyze(pm.group(1), self.token_pattern),
-                          boost, int(slop_s or 0))
+            p_terms = _analyze(pm.group(1), self.token_pattern)
+            if not p_terms:
+                # punctuation-only phrase ('"++"'): Lucene removes
+                # clauses the analyzer empties — keeping Phrase([])
+                # made every AND query containing one match NOTHING
+                # (final-round review; the bare-term path already
+                # dropped empty leaves)
+                return None
+            return Phrase(p_terms, boost, int(slop_s or 0))
         rm = _REGEXP_RE.match(t)
         if rm:
             # `/pat/` — Lucene regexp query: anchored full-term match
@@ -1267,16 +1297,20 @@ def _one_predicate(fld: str, val: str) -> Column:
     if rm:
         # Lucene regexp on a keyword field (`role:/us.r/`): anchored
         # full-value match (Lucene regexps are implicitly anchored;
-        # Spark rlike is a substring search, hence the ^(?:)$ wrap).
-        # The pattern compiles through the Lucene-dialect translator
-        # so `\d`/`^`/`$`/`.` keep Lucene semantics in the JVM regex.
+        # Spark rlike is a substring search, hence the \A(?:)\z wrap —
+        # NOT ^(?:)$: Java `$` matches before a trailing newline while
+        # the python twin's fullmatch does not, so a stored value
+        # 'user\n' would pass Catalyst and fail the twin, splitting
+        # driver/batch answers (final-round review)). The pattern
+        # compiles through the Lucene-dialect translator so
+        # `\d`/`^`/`$`/`.` keep Lucene semantics in the JVM regex.
         if fld in NUMERIC_FILTER_FIELDS | TIMESTAMP_FILTER_FIELDS:
             raise ValueError(
                 f"field {fld!r} is not a keyword field: regexp value "
                 f"{val!r} is not supported (use a range)")
         from sparkbm25.lucenere import to_portable
         return col.rlike(
-            "^(?:" + to_portable(rm.group(1).replace("\\/", "/")) + ")$")
+            "\\A(?:" + to_portable(rm.group(1).replace("\\/", "/")) + ")\\z")
     if "*" in val or "?" in val:
         if fld in NUMERIC_FILTER_FIELDS | TIMESTAMP_FILTER_FIELDS:
             raise ValueError(

@@ -629,7 +629,13 @@ def _expand_multiterm(spark: SparkSession, index_dir: str,
         # semantics (`\d` literal, `^`/`$` literal, `.` spans all,
         # `@`/`#` operators)
         from sparkbm25.lucenere import to_portable
-        cond = F.col("term").rlike("^(?:" + to_portable(rx) + ")$")
+        # \A/\z, not ^/$ — Java `$` also matches before a trailing
+        # newline; dictionary terms can't contain one under the
+        # default token pattern, but a custom token_pattern could,
+        # and the python-twin paths use fullmatch (exact-end) — keep
+        # the two engines bit-identical (final-round review, same fix
+        # as the keyword-field rlike in querystring._one_predicate)
+        cond = F.col("term").rlike("\\A(?:" + to_portable(rx) + ")\\z")
         pref = _regexp_literal_prefix(rx)
         if pref:
             cond = (F.col("term") >= F.lit(pref)) & cond

@@ -215,6 +215,10 @@ def test_alpha_code_map():
     # conversion itself still accepts any case
     assert alpha.to_alpha_3("FR") == "fra"
     assert "fr" in alpha.supported_codes() and "fra" in alpha.supported_codes()
+    # the FULL-ISO-639-1 claim audited (final-round review): 'bh' was
+    # the one missing alpha-2; the table now covers all 184 codes
+    assert alpha.to_alpha_3_pair("bh-en") == "bih-eng"
+    assert len({a2 for a2, _, _ in alpha.LANGUAGES}) == 184
 
 
 def test_cli_translate_plan_execute_resume(spark, tmp_path, capsys):

@@ -292,3 +292,46 @@ def test_highlight_results_broadcasts_the_k_rows(spark):
     plan = (highlight_results(results, src, "spark", **NOF0)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Broadcast" in plan
+
+
+def test_regexp_alternation_anchor():
+    """`/cat|dog/` must not highlight 'category': the \\Z anchor needs
+    a (?:...) wrap or it binds only to the LAST alternation branch,
+    disagreeing with the (anchored) scoring paths (final-round
+    review)."""
+    import numpy as np
+
+    from sparkbm25.highlight import _leaf_matchers
+    from sparkbm25.querystring import parse_query_string
+
+    m = _leaf_matchers(parse_query_string("/cat|dog/").tree)
+    got = m(np.array(["category", "cat", "dog", "dogs"], dtype=object))
+    assert got.tolist() == [False, True, True, False]
+
+
+def test_fragments_never_overlap():
+    """ES passages are disjoint: an untaken matched token BEFORE the
+    best-scoring window previously opened an overlapping window,
+    emitting the same source characters in two fragments (final-round
+    review)."""
+    from sparkbm25.highlight import _leaf_matchers, highlight_text
+    from sparkbm25.querystring import parse_query_string
+
+    words = (["match"] + ["w%03d" % i for i in range(26)]
+             + ["match", "xx", "match", "xx", "match", "xx", "match"])
+    text = " ".join(words)
+    mfn = _leaf_matchers(parse_query_string("match").tree)
+    frags = highlight_text(text, mfn, fragment_size=150,
+                           number_of_fragments=2)
+    assert frags and len(frags) == 2
+    # every highlighted occurrence appears exactly once across frags
+    joined = "".join(frags)
+    assert joined.count("<em>match</em>") == text.count("match") == 5
+    # and the fragments map to disjoint source spans: each fragment's
+    # plain text occurs in the original and they don't share chars
+    plains = [f.replace("<em>", "").replace("</em>", "") for f in frags]
+    i0 = text.find(plains[0])
+    i1 = text.find(plains[1])
+    assert i0 != -1 and i1 != -1
+    a, b = sorted([(i0, i0 + len(plains[0])), (i1, i1 + len(plains[1]))])
+    assert a[1] <= b[0]

@@ -1184,3 +1184,78 @@ def test_escape_neutralization_property():
         assert only_bool(p.tree), (s, p.tree)
 
     check()
+
+
+def test_plus_rewrite_keeps_must_not():
+    """`+apple -banana` must keep Not(banana) as a gating conjunct —
+    the `+` rewrite previously demoted it into the SHOULD group where
+    the MatchAll sentinel folded it away, ACCEPTING docs containing
+    the excluded term (final-round review)."""
+    from sparkbm25.querystring import And, Not, Or, Term
+
+    t = parse_query_string('+apple -banana').tree
+    assert isinstance(t, And)
+    nots = [c for c in t.children if isinstance(c, Not)]
+    assert len(nots) == 1 and nots[0].child == Term("banana", 1.0)
+    # with a SHOULD clause present, the Not still gates outside the Or
+    t2 = parse_query_string('+apple -banana cherry').tree
+    nots2 = [c for c in t2.children if isinstance(c, Not)]
+    assert len(nots2) == 1
+    ors = [c for c in t2.children if isinstance(c, Or)]
+    assert len(ors) == 1 and not any(
+        isinstance(c, Not) for c in ors[0].children)
+
+
+def test_bare_occur_prefix_before_group():
+    """The lexer splits `-(a b)` into a bare `-` token + `(`; the bare
+    token previously fell to the analyzer and DROPPED, turning the
+    negated group into a required conjunction (final-round review).
+    `+(a b)` likewise lost its required marker."""
+    from sparkbm25.querystring import And, Not, Or, Term, _Must  # noqa: F401
+
+    t = parse_query_string('-(alpha beta) gamma').tree
+    assert isinstance(t, And)
+    assert any(isinstance(c, Not) and isinstance(c.child, And)
+               for c in t.children)
+    t2 = parse_query_string('+(alpha beta) gamma').tree
+    # group terms required, gamma optional (SHOULD via MatchAll Or)
+    assert isinstance(t2, And)
+    assert any(isinstance(c, Or) for c in t2.children)
+    terms = [c.text for c in t2.children
+             if isinstance(c, Term)]
+    assert set(terms) >= {"alpha", "beta"}
+    # `!(a b)` (already working) stays equivalent to -(a b)
+    t3 = parse_query_string('!(alpha beta) gamma').tree
+    assert t3 == t
+
+
+def test_punctuation_only_phrase_drops():
+    """Lucene removes clauses the analyzer empties: '"++"' must drop,
+    not become a never-matching Phrase([]) that turns any AND query
+    into match-none (final-round review; bare terms already dropped)."""
+    from sparkbm25.querystring import Phrase, Term
+
+    t = parse_query_string('spark AND "++"').tree
+    assert t == Term("spark", 1.0)
+    assert parse_query_string('"--" "++"').tree is None
+    # a real phrase is untouched
+    assert isinstance(parse_query_string('"a b"').tree, Phrase)
+
+
+def test_keyword_regexp_rlike_matches_fullmatch_on_trailing_newline(spark):
+    """The Catalyst rlike wrap must use \\A...\\z: Java `$` matches
+    before a trailing newline while the python twin's fullmatch does
+    not — a stored value 'user\\n' previously passed Catalyst and
+    failed the twin, splitting driver/batch answers (final-round
+    review)."""
+    from sparkbm25.querystring import filter_condition, python_filter
+
+    p = parse_query_string("role:/user/")
+    df = spark.createDataFrame(
+        [("user\n",), ("user",), ("users",)], "role string")
+    got = {r.role for r in
+           df.where(filter_condition(p.filters, [])).collect()}
+    assert got == {"user"}
+    pred = python_filter(p.filters)
+    assert [pred({"role": v}) for v in ("user\n", "user", "users")] == \
+        [False, True, False]
