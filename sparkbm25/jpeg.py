@@ -240,6 +240,28 @@ def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int
     return codes
 
 
+_DEFAULT_HTABLES: dict | None = None
+
+
+def _default_htables() -> dict:
+    """Decoder forms of the Annex K tables (the same _DC/_AC arrays
+    the encoder writes), used when a stream carries no DHT for a
+    selector id in 0/1. Real-world MJPEG-in-AVI conventionally omits
+    DHT — T.81 permits it, decoders must supply the typical tables
+    (final-round review: every mainstream camera/ffmpeg MJPEG frame
+    previously raised 'missing JPEG Huffman table'). Built lazily
+    once; selector ids 2/3 without a DHT still raise."""
+    global _DEFAULT_HTABLES
+    if _DEFAULT_HTABLES is None:
+        _DEFAULT_HTABLES = {
+            (0, 0): _build_decode(*_DC_LUMA),
+            (0, 1): _build_decode(*_DC_CHROMA),
+            (1, 0): _build_decode(*_AC_LUMA),
+            (1, 1): _build_decode(*_AC_CHROMA),
+        }
+    return _DEFAULT_HTABLES
+
+
 def _build_decode(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
     """Canonical Huffman: (length, code) -> value for the decoder."""
     table = {}
@@ -464,6 +486,14 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them or the seglen is read out of the
+        # marker itself, desyncing the walk on spec-valid files
+        # (final-round review, verified with a self-encoded stream)
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:                                # EOI
             break
@@ -497,8 +527,15 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    # T.81 B.2.2: sampling factors are 1-4. A zero
+                    # slipped past the old hmax-only check and reached
+                    # the upsample divide as ZeroDivisionError,
+                    # escaping the ValueError-only corruption contract
+                    # (final-round review, one-byte-mutation repro)
+                    raise ValueError("JPEG sampling factor out of range")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -539,9 +576,18 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
     segments.append(bytes(cur))
 
     comps = frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-INTERLEAVED — the
+        # MCU is one data unit and blocks run in raster order over
+        # ceil(w/8) x ceil(h/8); the declared sampling factors do not
+        # tile (a grayscale file declaring 2x2 previously demanded
+        # 4 blocks/MCU in tile order and rejected or scrambled valid
+        # streams — final-round review). 1x1 reproduces exactly the
+        # raster geometry, including per-data-unit restart counting.
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+    if hmax > 2 or vmax > 2:
         raise ValueError("sampling factors beyond 2 unsupported")
     h, w = frame["h"], frame["w"]
     if h == 0 or w == 0:
@@ -577,8 +623,10 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
                 preds = {c["id"]: 0 for c in comps}
             for c in comps:
                 sel = scan_of[c["id"]]
-                dct = htables.get((0, sel["dc"]))
-                act = htables.get((1, sel["ac"]))
+                dct = (htables.get((0, sel["dc"]))
+                       or _default_htables().get((0, sel["dc"])))
+                act = (htables.get((1, sel["ac"]))
+                       or _default_htables().get((1, sel["ac"])))
                 if dct is None or act is None:
                     raise ValueError("missing JPEG Huffman table")
                 for by in range(c["v"]):

@@ -417,3 +417,74 @@ def test_multimodal_real_pil(spark):
     thumbs = mm.resize_images(assets, 8, 8, mode="real").toPandas()
     t0 = Image.open(io.BytesIO(thumbs["thumb"].iloc[0]))
     assert t0.size == (8, 8)
+
+
+def test_png_decompression_bomb_raises():
+    """A crafted IDAT that inflates far beyond its byte size must
+    raise ValueError, not allocate gigabytes and stall the executor
+    in the per-row filter loop (final-round review: the JPEG kernel
+    had this allocation guard, the PNG kernel did not)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from sparkbm25 import multimodal as mm
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    w, h = 8192, 8193       # 64 MP + 1 row: over the pixel budget
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # grayscale
+    idat = zlib.compress(b"\x00" * 1024)   # tiny stream, huge claim
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inconsistent|exceeds"):
+        mm._parse_png(bomb)
+    # a normal image still round-trips through the same guard
+    arr = np.arange(12 * 8 * 3, dtype=np.uint8).reshape(12, 8, 3)
+    np.testing.assert_array_equal(mm._parse_png(mm._encode_png(arr)), arr)
+
+
+def test_unknown_kind_real_mode_raises():
+    """mode='real' must never silently emit the hash fake for an
+    unrecognized kind (final-round review: kind='text' produced fake
+    features while the pipeline believed it ran real decode)."""
+    import pytest
+
+    from sparkbm25 import multimodal as mm
+
+    with pytest.raises(ValueError, match="unknown asset kind"):
+        mm._one_feature(b"payload", "text", 8, "real")
+    # fake/auto modes keep the permissive fallback
+    assert mm._one_feature(b"payload", "text", 8, "fake").shape == (8,)
+    assert mm._one_feature(b"payload", "text", 8, "auto").shape == (8,)
+
+
+def test_avi_trailing_junk_and_deep_nesting():
+    """RIFF size counts from byte 8 (the walk previously overran by 4
+    and could swallow trailing junk as a frame chunk), and a crafted
+    deep LIST nest must raise ValueError, not RecursionError
+    (final-round review)."""
+    import struct
+
+    import pytest
+
+    from sparkbm25 import multimodal as mm
+
+    base = mm.make_fake_avi(width=16, height=12, n_frames=3, seed=7)
+    info = mm._parse_avi(base)
+    # trailing junk shaped like a frame chunk header must stay outside
+    junk = b"00dc" + struct.pack("<I", 64) + b"Z" * 64
+    info2 = mm._parse_avi(base + junk)
+    assert len(info2["frames"]) == len(info["frames"])
+    assert all((a == b) for a, b in zip(info2["frames"], info["frames"]))
+    # ~1200 nested strl LISTs: ValueError, not RecursionError
+    depth = 1200
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"strl" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError, match="nesting too deep"):
+        mm._parse_avi(payload)

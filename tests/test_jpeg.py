@@ -142,3 +142,70 @@ def test_multimodal_dispatch_decodes_jpeg():
     thumb = mm._parse_png(mm._image_resize(jpg, 5, 4))
     assert thumb.shape == (4, 5, 3)
     assert np.abs(thumb.astype(int) - [128, 64, 32]).max() <= 2
+
+
+def test_sampling_factor_zero_raises_valueerror():
+    """A SOF component with sampling factor 0 must raise ValueError,
+    not ZeroDivisionError (final-round review: the one-byte mutation
+    0x11 -> 0x10 on the second component escaped the corruption
+    contract at the upsample divide)."""
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([x * 15, y * 15, x + y], -1).astype(np.uint8)
+    good = bytearray(encode_jpeg(img, 90, "420"))
+    i = good.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1), then id,hv,tq per
+    # component — patch component 2's hv byte
+    hv2 = i + 2 + 2 + 1 + 2 + 2 + 1 + 3 + 1
+    assert good[hv2] == 0x11
+    good[hv2] = 0x10
+    with pytest.raises(ValueError, match="sampling factor"):
+        parse_jpeg(bytes(good))
+
+
+def test_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; the walk previously desynced and rejected such streams
+    (final-round review)."""
+    img = np.full((16, 16, 3), 128, np.uint8)
+    raw = encode_jpeg(img, 90, "444")
+    i = raw.find(b"\xff\xdb")
+    padded = raw[:i] + b"\xff\xff\xff" + raw[i:]
+    np.testing.assert_array_equal(parse_jpeg(padded), parse_jpeg(raw))
+
+
+def test_grayscale_declared_2x2_sampling_decodes_raster():
+    """T.81 A.2: a single-component scan is non-interleaved — blocks
+    run in raster order regardless of declared sampling factors. A
+    grayscale file declaring 2x2 previously demanded 4-blocks-per-MCU
+    tile order and rejected/scrambled valid streams (final-round
+    review)."""
+    g = ((np.arange(24 * 24).reshape(24, 24) * 3) % 256).astype(np.uint8)
+    raw = bytearray(encode_jpeg(g, 92, "444"))
+    i = raw.find(b"\xff\xc0")
+    hv1 = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert raw[hv1] == 0x11
+    raw[hv1] = 0x22      # declare 2x2 on the sole component
+    np.testing.assert_array_equal(parse_jpeg(bytes(raw)),
+                                  parse_jpeg(encode_jpeg(g, 92, "444")))
+
+
+def test_mjpeg_stream_without_dht_uses_annex_k_defaults():
+    """Real-world MJPEG frames conventionally omit DHT (decoders must
+    supply the typical Annex K tables). Stripping every DHT from a
+    stream our encoder produced (it writes exactly those tables) must
+    decode to identical pixels (final-round review)."""
+    y, x = np.mgrid[0:17, 0:23]
+    img = np.stack([x * 11, y * 9, x * y], -1).astype(np.uint8)
+    raw = encode_jpeg(img, 85, "420")
+    out = bytearray()
+    pos = 0
+    while pos < len(raw):
+        if raw[pos] == 0xFF and pos + 4 <= len(raw) and raw[pos + 1] == 0xC4:
+            (seglen,) = np.frombuffer(raw[pos + 2:pos + 4], ">u2")
+            pos += 2 + int(seglen)
+            continue
+        out.append(raw[pos])
+        pos += 1
+    stripped = bytes(out)
+    assert b"\xff\xc4" not in stripped[:stripped.find(b"\xff\xda")]
+    np.testing.assert_array_equal(parse_jpeg(stripped), parse_jpeg(raw))
