@@ -208,6 +208,10 @@ def read_docs(spark, index_root: str):
     multi-path read would see conflicting partition structures (same
     reason search._read_segments unions segment roots)."""
     paths = docs_paths(index_root)
+    if not paths:
+        # same guard as global_stats — a wrong --index path previously
+        # surfaced as a bare IndexError with no mention of the path
+        raise FileNotFoundError(f"no index at {index_root}")
     dfs = [spark.read.parquet(p) for p in paths]
     out = dfs[0]
     for d in dfs[1:]:

@@ -170,7 +170,13 @@ def cmd_translate(args) -> int:
                                      translate_into_index)
 
     _wire_logging(args)
-    interp_cls = get_interpreter(args.interpreter)
+    try:
+        interp_cls = get_interpreter(args.interpreter)
+    except ValueError as e:
+        # same contract as cmd_search's malformed-query handling: a
+        # typo'd --interpreter name gets the message, not a traceback
+        print(f"translate error: {e}", file=sys.stderr)
+        return 2
     interp = interp_cls()
     spark = _spark(args.master, "sparkbm25-translate")
     df = _read_input(spark, args)

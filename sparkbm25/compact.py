@@ -148,6 +148,19 @@ def compact_index(spark: SparkSession, index_root: str, out_dir: str) -> BuildRe
         catalog.append_manifest(out_dir, _mrow(
             "terms", -1, 0, 0, t1, time.time(), lineage))
 
+    # carry every source generation's lineage through the merge (and
+    # any lineages THEY merged): stream_index's replay-skip derives
+    # batch idempotency from these markers, and compaction must not
+    # forget which stream batches the folded data contains
+    merged = []
+    for g in catalog.generation_dirs(index_root):
+        try:
+            s = catalog.read_stats(g)
+        except FileNotFoundError:
+            continue
+        if s.get("lineage"):
+            merged.append(s["lineage"])
+        merged.extend(s.get("merged_lineages", []))
     catalog.write_stats(out_dir, {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -155,6 +168,7 @@ def compact_index(spark: SparkSession, index_root: str, out_dir: str) -> BuildRe
         "doc_ord_base": 0,
         "config": cfg.to_json(),
         "lineage": lineage,
+        "merged_lineages": sorted(set(merged)),
     })
     catalog.clear_staging(out_dir)
     catalog.write_complete_marker(out_dir)

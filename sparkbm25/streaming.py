@@ -254,6 +254,23 @@ def worker_progress_stream(
     )
 
 
+def _batch_already_applied(index_root: str, batch_id: int) -> bool:
+    """True iff a LIVE generation (or one folded into a live compacted
+    generation) carries this stream batch's lineage marker — the
+    foreachBatch replay-skip predicate (see stream_index.process)."""
+    tag = f":stream_batch_{batch_id}"
+    for g in catalog.generation_dirs(index_root):
+        try:
+            s = catalog.read_stats(g)
+        except FileNotFoundError:
+            continue
+        if s.get("lineage", "").endswith(tag):
+            return True
+        if any(ln.endswith(tag) for ln in s.get("merged_lineages", [])):
+            return True
+    return False
+
+
 def stream_index(
     spark: SparkSession,
     input_path: str,
@@ -279,6 +296,17 @@ def stream_index(
     stream = reader.parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int):
+        if _batch_already_applied(index_root, batch_id):
+            # foreachBatch is at-least-once: a checkpoint-recovery
+            # replay of a batch whose generation already committed
+            # (final-round review: the replay appended the same rows
+            # as a NEW generation, double-counting N/df/avgdl). The
+            # marker is the committed generation's lineage — written
+            # atomically with the gen's _COMPLETE commit and carried
+            # through compaction via merged_lineages — so a crash
+            # BEFORE commit still replays (no data loss) and a crash
+            # AFTER commit skips (no duplication).
+            return
         if batch_df.isEmpty():
             return
         update_index(spark, batch_df, index_root, config,

@@ -259,7 +259,17 @@ def translate_into_index(
     translated = translate_turns(pending, interpreter)
     updates = translated.select(
         "conv_id", "turn_idx", F.col("translation").alias("value"))
-    return annotate_docs(spark, index_dir, updates, interpreter.name)
+    # materialize the MT output ONCE: annotate_docs fires one action
+    # per generation (key scan + block rewrite), and an uncached plan
+    # re-executed the whole translate mapInPandas for each — ~2xG
+    # full-corpus translations with a real backend (final-round
+    # review). persist + count pins the translated rows first.
+    updates = updates.persist()
+    try:
+        updates.count()
+        return annotate_docs(spark, index_dir, updates, interpreter.name)
+    finally:
+        updates.unpersist()
 
 
 def pending_turns(
@@ -271,12 +281,26 @@ def pending_turns(
 ) -> DataFrame:
     """The turns a translate run would process (the is_translated
     anti-join) — shared by the job and the CLI's --dry-run, so the
-    dry-run count IS the real plan's count."""
+    dry-run count IS the real plan's count.
+
+    Scoped to turns the INDEX actually holds (semi-join against the
+    forward table keys): annotate_docs can only attach translations
+    to indexed turns, so a transcripts table that grew past the index
+    previously re-translated the unindexed tail on EVERY run and
+    silently dropped the output — pending never reached zero
+    (final-round review). Unindexed turns are simply not pending;
+    re-index first, then translate."""
+    from sparkbm25 import catalog
+
+    indexed = (catalog.read_docs(spark, index_dir)
+               .select("conv_id", "turn_idx"))
+    scoped = transcripts.join(indexed, ["conv_id", "turn_idx"],
+                              "left_semi")
     if not resume:
-        return transcripts
+        return scoped
     done = (
         read_annotations(spark, index_dir)
         .where(F.col("name") == interpreter.name)
         .select("conv_id", "turn_idx")
     )
-    return transcripts.join(done, ["conv_id", "turn_idx"], "left_anti")
+    return scoped.join(done, ["conv_id", "turn_idx"], "left_anti")

@@ -253,10 +253,14 @@ def test_cli_translate_plan_execute_resume(spark, tmp_path, capsys):
     assert out["translated"] == 120
 
 
-def test_cli_translate_unknown_interpreter(spark, tmp_path):
-    with pytest.raises(ValueError, match="valid interpreter name"):
-        cli.main(["translate", "--index", "/nonexistent", "--input",
-                  "/nonexistent", "--interpreter", "nope"])
+def test_cli_translate_unknown_interpreter(spark, tmp_path, capsys):
+    """A typo'd --interpreter gets the clean message + exit 2 (same
+    contract as cmd_search's malformed-query handling; final-round
+    review: it previously dumped a raw ValueError traceback)."""
+    rc = cli.main(["translate", "--index", "/nonexistent", "--input",
+                   "/nonexistent", "--interpreter", "nope"])
+    assert rc == 2
+    assert "valid interpreter name" in capsys.readouterr().err
 
 
 def test_cli_build_max_content_length(spark, tmp_path, capsys):

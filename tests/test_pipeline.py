@@ -261,3 +261,30 @@ def test_annotate_duplicate_update_keys_no_row_multiplication(spark, tmp_path):
     assert docs_after.groupBy("doc_ord").count().where("count > 1").count() == 0
     got = read_annotations(spark, d).where("name = 'multi'").toPandas()
     assert sorted(got["value"]) == ["a", "a", "b"]        # all values kept
+
+
+def test_translate_converges_when_transcripts_outgrow_index(spark, tmp_path):
+    """pending_turns scopes to turns the INDEX holds: a transcripts
+    table that grew past the index previously re-translated the
+    unindexed tail on EVERY run and silently dropped the output —
+    pending never reached zero (final-round review)."""
+    from sparkbm25.build import build_index
+    from sparkbm25.fixtures import make_transcripts
+    from sparkbm25.translate import (ReverseTokenInterpreter,
+                                     pending_turns, translate_into_index)
+
+    t = make_transcripts(120, seed=13)
+    d = str(tmp_path / "growidx")
+    indexed = spark.createDataFrame(t.iloc[:80])
+    build_index(spark, indexed, d,
+                IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                            n_build_chunks=1), input_desc="grow80")
+    interp = ReverseTokenInterpreter()
+    grown = spark.createDataFrame(t)          # 40 turns not indexed
+    assert pending_turns(spark, d, grown, interp).count() == 80
+    n = translate_into_index(spark, d, grown, interp)
+    assert n == 80
+    # convergence: the second run has NOTHING pending (previously 40
+    # unindexed turns stayed pending forever)
+    assert pending_turns(spark, d, grown, interp).count() == 0
+    assert translate_into_index(spark, d, grown, interp) == 0

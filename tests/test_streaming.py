@@ -12,6 +12,7 @@ import pytest
 
 from sparkbm25 import IndexConfig, Searcher, build_index, search_batch
 from sparkbm25.fixtures import make_queries, make_transcripts
+from sparkbm25 import catalog
 from sparkbm25.streaming import stream_index, update_index
 
 CFG = IndexConfig(n_term_buckets=8, n_salt_buckets=4, n_build_chunks=1)
@@ -326,3 +327,41 @@ def test_compaction_crash_windows_are_safe(spark, tmp_path):
     assert not os.path.exists(dead)
     assert not os.path.exists(catalog.superseded_path(root))
     assert Searcher(spark, root).n_docs == 210
+
+
+def test_stream_batch_replay_is_idempotent(spark, corpus, tmp_path):
+    """foreachBatch is at-least-once: a checkpoint-recovery replay of
+    a committed batch must NOT append a duplicate generation (final-
+    round review: it double-counted N/df/avgdl). The skip marker is
+    the committed generation's lineage and survives compaction via
+    merged_lineages."""
+    from sparkbm25.streaming import (_batch_already_applied,
+                                     compact_generations, update_index)
+
+    a, b = corpus
+    root = str(tmp_path / "replay")
+    cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                      n_build_chunks=1, checkpoint_runs=False)
+    update_index(spark, spark.createDataFrame(a), root, cfg,
+                 input_desc="stream_batch_0")
+    update_index(spark, spark.createDataFrame(b), root, cfg,
+                 input_desc="stream_batch_1")
+    assert _batch_already_applied(root, 0)
+    assert _batch_already_applied(root, 1)
+    assert not _batch_already_applied(root, 2)
+    n_before = catalog.global_stats(root)["n_docs"]
+    # ...and the markers survive the tiered merge
+    compact_generations(spark, root)
+    assert catalog.global_stats(root)["n_docs"] == n_before
+    assert _batch_already_applied(root, 0)
+    assert _batch_already_applied(root, 1)
+    assert not _batch_already_applied(root, 2)
+
+
+def test_read_docs_missing_index_raises_clearly(spark, tmp_path):
+    """A wrong index path raises FileNotFoundError naming the path,
+    not a bare IndexError (final-round review; matches global_stats)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no index at"):
+        catalog.read_docs(spark, str(tmp_path / "nope"))
