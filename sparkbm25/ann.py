@@ -71,7 +71,11 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k against one query vector. Dot products as JVM
     column expressions; top-k via orderBy().limit(k)
-    (TakeOrderedAndProject). Returns (id, rank, cos) with raw cosine."""
+    (TakeOrderedAndProject). Returns (id, rank, cos_micro, cos): the
+    RANKING follows the module's 1e-6 quantized-cosine contract like
+    every other top-k path (final-round review: raw-float ordering
+    could tie-break differently across engines at the k-boundary),
+    while `cos` keeps the raw cosine for recall math."""
     emb = _as_double(emb, vec_col)
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(np.dot(q, q)))
@@ -79,9 +83,11 @@ def cosine_topk_bruteforce(
     norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     scored = emb.select(
         F.col(id_col), (_dot(F.col(vec_col), qlit) / (norm * F.lit(qn))).alias("cos"))
-    top = scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+    scored = scored.withColumn("cos_micro", _micro(F.col("cos")))
+    top = scored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "rank", "cos_micro", "cos")
 
 
 # ---------------------------------------------------------------------------
@@ -197,10 +203,16 @@ def cosine_dup_pairs(
     with probability (1 - arccos(c)/pi)^n_planes — at c=0.95, 8 planes
     ≈ 0.75; run with two plane seeds or fewer planes for higher recall
     (the oracle checks the single-band contract exactly)."""
-    first = emb.select(vec_col).first()
+    # dim inference must survive a NULL embedding in the first row and
+    # keep the empty-input schema consistent with the non-empty path's
+    # id type (final-round review: first()[0] was None-unsafe, and the
+    # hardcoded bigint ids broke unions for string-id callers)
+    first = (emb.where(F.col(vec_col).isNotNull())
+             .select(vec_col).first())
     if first is None:
+        id_type = emb.schema[id_col].dataType.simpleString()
         return emb.sparkSession.createDataFrame(
-            [], "id1 bigint, id2 bigint, cos_micro bigint")
+            [], f"id1 {id_type}, id2 {id_type}, cos_micro bigint")
     planes = hash_planes(n_planes, len(first[0]))
     b = hyperplane_buckets(emb, planes, id_col, vec_col)
     ok = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))

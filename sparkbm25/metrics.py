@@ -14,11 +14,23 @@ import pandas as pd
 from sparkbm25.catalog import read_manifest
 
 
+def _current_build(m: pd.DataFrame) -> pd.DataFrame:
+    """Rows of the MOST RECENT build only. The manifest is append-only
+    across rebuilds and config changes (resume dedups within ONE
+    lineage via catalog.done_set, but a resume=False rebuild appends a
+    fresh lineage), so summing every row double-counted turns/seconds
+    and reported the OLDEST build's lineage (final-round review)."""
+    cur = m.loc[m["started_at"].idxmax(), "lineage"]
+    return m[m["lineage"] == cur]
+
+
 def build_summary(index_dir: str) -> dict:
-    """A2 sums + A5/A6-style derived rates for one index build."""
+    """A2 sums + A5/A6-style derived rates for the CURRENT (latest
+    lineage) build of this index."""
     m = read_manifest(index_dir)
     if m.empty:
         return {"stages": 0}
+    m = _current_build(m)
     seg = m[m["stage"] == "segments"]
     tfs = m[m["stage"] == "tf"]
     total_secs = float(m["seconds"].sum())
@@ -49,7 +61,7 @@ def throughput_series(index_dir: str) -> pd.DataFrame:
     m = read_manifest(index_dir)
     if m.empty:
         return m
-    out = m.sort_values("finished_at").copy()
+    out = _current_build(m).sort_values("finished_at").copy()
     out["rate"] = out["n_turns"] / out["seconds"]
     # sliding mean over the last 3 samples (monitor history window)
     out["rate_avg3"] = out["rate"].rolling(3, min_periods=1).mean()

@@ -77,6 +77,7 @@ def curate(
     from sparkbm25 import textops
 
     stats: dict[str, int] = {}
+    persisted: list[DataFrame] = []
 
     def _checkpoint(d: DataFrame, key: str) -> DataFrame:
         if not cfg.stage_counts:
@@ -84,6 +85,13 @@ def curate(
             return d
         d = d.persist()
         stats[key] = d.count()
+        # this count materialized FROM the previous stage's cache, so
+        # that cache is done — keep only the newest stage pinned
+        # (final-round review: all four stage caches previously stayed
+        # in executor storage for the application lifetime)
+        while persisted:
+            persisted.pop().unpersist()
+        persisted.append(d)
         return d
 
     stats["n_input"] = transcripts.count() if cfg.stage_counts else -1
@@ -131,7 +139,12 @@ def curate(
     else:
         stats["n_after_lang"] = stats["n_after_quality"]
 
-    return df.drop("_key"), stats
+    out = df.drop("_key")
+    # hand the last live cache to the caller (curate_and_index
+    # unpersists it once the build has materialized the survivors) —
+    # same convention as build.assign_doc_ords
+    out._sparkbm25_cached = persisted[-1] if persisted else None
+    return out, stats
 
 
 def curate_and_index(
@@ -145,6 +158,9 @@ def curate_and_index(
     survivors, stats = curate(spark, transcripts, curation)
     build = build_index(spark, survivors, index_dir, index_config,
                         input_desc=input_desc or "curated")
+    cached = getattr(survivors, "_sparkbm25_cached", None)
+    if cached is not None:
+        cached.unpersist()
     if not curation.stage_counts:
         # the build materialized the survivors anyway — the final
         # count is known for free even with per-stage counts disabled

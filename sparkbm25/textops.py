@@ -156,6 +156,15 @@ def minhash_lsh_pairs(
         still pair through their other bands (and true exact dups are
         caught by exact_dedup upstream).
     """
+    if bands < 1 or bands > n_hashes or n_hashes % bands:
+        # bands > n_hashes made r = 0, every band key md5('') — every
+        # bucket degenerate, every bucket dropped, ZERO pairs with no
+        # error (a curation run silently skipping near-dup dedup);
+        # a non-divisor silently ignored trailing signature elements
+        # (final-round review)
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} "
+            "(b bands x r rows needs r = n_hashes/bands >= 1)")
     r = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle)
     band_cols = [
@@ -385,13 +394,20 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish subword count (regex split on
     common subword boundaries — a deterministic proxy for a real
-    tokenizer's token count)."""
+    tokenizer's token count). NULL and empty/whitespace-only text
+    count 0 (final-round review: split(NULL) propagated a NULL/-1
+    size and split('') = [''] counted 1 — the only operator in the
+    module that skipped tokens_col's coalesce+filter guards)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(txt), r"\s+")))
+    bpe = F.when(F.length(txt) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.lower(txt),
+                       r"(?=[^a-z0-9])|(?<=[^a-z0-9])|(?<=[a-z]{4})(?=[a-z]{3})")))
     return docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
-        F.size(F.split(F.lower(F.col(text_col)),
-                       r"(?=[^a-z0-9])|(?<=[^a-z0-9])|(?<=[a-z]{4})(?=[a-z]{3})")
-               ).alias("bpeish_tokens"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpeish_tokens"),
     )
 
 

@@ -488,3 +488,30 @@ def test_avi_trailing_junk_and_deep_nesting():
     payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
     with pytest.raises(ValueError, match="nesting too deep"):
         mm._parse_avi(payload)
+
+
+def test_bruteforce_ranks_on_quantized_cosine(spark, emb):
+    """The brute-force baseline follows the module's 1e-6 quantized
+    ranking contract like every other top-k path (final-round review:
+    raw-float ordering could tie-break differently across engines)."""
+    df, M = emb
+    got = ann.cosine_topk_bruteforce(df, M[0].astype(float).tolist(),
+                                     k=5).toPandas()
+    assert list(got.columns) == ["vec_id", "rank", "cos_micro", "cos"]
+    np.testing.assert_array_equal(
+        got["cos_micro"], np.floor(got["cos"] * 1e6 + 0.5).astype("int64"))
+
+
+def test_cosine_dup_pairs_null_first_row_and_empty_schema(spark):
+    """dim inference survives a NULL embedding in the first row, and
+    the empty-input schema matches the id column's type (final-round
+    review: hardcoded bigint ids broke unions for string-id tables)."""
+    rows = [("a", None), ("b", [1.0, 0.0]), ("c", [1.0, 0.001])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = ann.cosine_dup_pairs(df, threshold=0.9, id_col="vec_id")
+    got = out.toPandas()
+    assert ("b", "c") in {(r.id1, r.id2) for r in got.itertuples()}
+    empty = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    eout = ann.cosine_dup_pairs(empty, id_col="vec_id")
+    assert dict(eout.dtypes)["id1"] == "string"
+    assert eout.count() == 0

@@ -316,3 +316,24 @@ def test_cli_compact_in_place(spark, tmp_path, capsys):
     assert out["n_docs"] == 200
     assert len(catalog.generation_dirs(root)) == 1
     assert Searcher(spark, root).n_docs == 200
+
+
+def test_build_summary_scopes_to_latest_build(spark, tmp_path):
+    """The manifest is append-only across rebuilds: build_summary and
+    throughput_series previously summed EVERY lineage (double-counting
+    turns/seconds and reporting the oldest build's lineage —
+    final-round review). They now scope to the latest build."""
+    t = make_transcripts(120, seed=41)
+    d = str(tmp_path / "re_idx")
+    cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2,
+                      n_build_chunks=1, checkpoint_runs=False)
+    build_index(spark, spark.createDataFrame(t), d, cfg,
+                input_desc="first")
+    s1 = metrics.build_summary(d)
+    build_index(spark, spark.createDataFrame(t), d, cfg,
+                input_desc="second")
+    s2 = metrics.build_summary(d)
+    assert s2["n_turns"] == s1["n_turns"] == 120   # never 240
+    assert s2["lineage"].endswith(":second")
+    ts = metrics.throughput_series(d)
+    assert int(ts[ts["stage"] == "tf"]["n_turns"].sum()) == 120

@@ -144,3 +144,29 @@ def test_simhash_bucket_cap_defuses_boilerplate(spark):
     # cap disabled: the quadratic (but exact) small-scale mode returns
     pairs_all = textops.simhash_pairs(sdf, max_hamming=3, max_bucket=0)
     assert pairs_all.where("id1 < 1000 and id2 < 1000").count() == 300 * 299 / 2
+
+
+def test_token_count_null_and_empty(spark):
+    """NULL and empty/whitespace-only text count 0 tokens (final-round
+    review: split(NULL) propagated NULL/-1 and split('') counted 1)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "two words")],
+        "doc_id bigint, text string")
+    out = textops.token_count(df).toPandas().set_index("id")
+    assert out.loc[0, "ws_tokens"] == 0 and out.loc[0, "bpeish_tokens"] == 0
+    assert out.loc[1, "ws_tokens"] == 0 and out.loc[1, "bpeish_tokens"] == 0
+    assert out.loc[2, "ws_tokens"] == 0
+    assert out.loc[3, "ws_tokens"] == 2
+
+
+def test_minhash_lsh_bands_validated(spark, docs):
+    """bands > n_hashes silently returned ZERO pairs (r=0 makes every
+    band key md5('') and every bucket degenerate); a non-divisor
+    silently ignored trailing signature elements. Both raise now
+    (final-round review)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide n_hashes"):
+        textops.minhash_lsh_pairs(docs, n_hashes=12, bands=16)
+    with pytest.raises(ValueError, match="must divide n_hashes"):
+        textops.minhash_lsh_pairs(docs, n_hashes=12, bands=5)
