@@ -130,38 +130,73 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
             .withColumn("pid", F.spark_partition_id())
         )
 
-    from sparkbm25.analysis import tokenize_series
+    from sparkbm25.analysis import (DEFAULT_TOKEN_PATTERN, tokenize_arrow_ascii,
+                                    tokenize_series)
 
     pattern, maxlen = config.token_pattern, config.max_content_length
 
     def local_idx_and_tokenize(batches):
+        # ONE Arrow pass: tokenization runs the vectorized byte-level
+        # kernel (tokenize_arrow_ascii) and the token lists never
+        # materialize as Python objects — round 5's mapInPandas built
+        # ~40 Python str objects per document and re-serialized them to
+        # Arrow, which was the single largest CPU cost of build stage 1
+        # (guide §4.2: hand whole batches to vectorized kernels).
+        # Non-ASCII batches and non-default token patterns keep the
+        # exact pandas path per batch (equal results, old speed).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         off = 0
         fseq: dict = {}      # verify: crc32(file) -> dense seq within this task
         offs: dict = {}      # verify: seq -> next local_idx in that file
         tails: dict = {}     # verify: seq -> (conv_id, turn_idx) tail key
-        for pdf in batches:
-            toks = tokenize_series(pdf["text"], pattern, maxlen)
+        for rb in batches:
+            nr = rb.num_rows
+            if nr == 0:
+                continue
+            name_idx = {n: i for i, n in enumerate(rb.schema.names)}
+            text = rb.column(name_idx["text"])
+            fast = (tokenize_arrow_ascii(text, maxlen)
+                    if pattern == DEFAULT_TOKEN_PATTERN else None)
+            if fast is not None:
+                toks, dl = fast
+            else:
+                toks_pd = tokenize_series(text.to_pandas(), pattern, maxlen)
+                toks = pa.array(toks_pd.tolist(), type=pa.list_(pa.string()))
+                dl = toks_pd.str.len().to_numpy(dtype=np.int64)
             # per-row error side-output (F5, es_translator.py:264-271
             # logs-and-continues per doc and keeps the error record):
             # poison rows are kept (they index as empty docs) and
             # tagged, never dropped silently and never fatal.
-            err = pd.Series([None] * len(pdf), dtype=object)
+            err = pa.nulls(nr, pa.string())
             if maxlen:
-                err[pdf["text"].fillna("").str.len() > maxlen] = "truncated"
-            err[pdf["text"].isna().to_numpy()] = "null_text"
-            out = pd.DataFrame(
-                {
-                    "pid": pdf["pid"].to_numpy(),
-                    "conv_id": pdf["conv_id"].to_numpy(),
-                    "turn_idx": pdf["turn_idx"].to_numpy(),
-                    "local_idx": np.arange(off, off + len(pdf), dtype=np.int64),
-                    "tokens": toks.to_numpy(),
-                    "dl": toks.str.len().to_numpy(dtype=np.int64),
-                    "err": err,
-                    **{a: pdf[a].to_numpy() for a in attrs},
-                }
-            )
-            if verify_order and len(pdf):
+                lens = pc.utf8_length(pc.fill_null(text, ""))
+                err = pc.if_else(pc.greater(lens, maxlen),
+                                 pa.scalar("truncated", pa.string()), err)
+            err = pc.if_else(pc.is_null(text),
+                             pa.scalar("null_text", pa.string()), err)
+            cols = {
+                "pid": rb.column(name_idx["pid"]),
+                "conv_id": rb.column(name_idx["conv_id"]),
+                "turn_idx": rb.column(name_idx["turn_idx"]),
+                "local_idx": pa.array(
+                    np.arange(off, off + nr, dtype=np.int64),
+                    type=pa.int64()),
+                "tokens": toks,
+                "dl": pa.array(dl, type=pa.int64()),
+                "err": err,
+                **{a: rb.column(name_idx[a]) for a in attrs},
+            }
+            # mapInArrow does NOT coerce to the declared schema the way
+            # mapInPandas did: cast the passthrough columns whose input
+            # type may be wider (int64 turn_idx from a pandas-created
+            # DataFrame) than the declared one
+            for k, want in (("pid", pa.int32()), ("turn_idx", pa.int32()),
+                            ("conv_id", pa.string())):
+                if cols[k].type != want:
+                    cols[k] = cols[k].cast(want)
+            if verify_order:
                 # per-FILE order proof, streamed: the batch segments
                 # into contiguous input_file_name runs (a batch almost
                 # always holds one); within each run a row whose key is
@@ -169,43 +204,53 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
                 # the input contract) is flagged, with the carried tail
                 # key covering batch boundaries. local_idx restarts per
                 # file so the driver can lay files out in key order.
-                fid = pdf["_fid"].to_numpy()
-                c, t = pdf["conv_id"], pdf["turn_idx"]
-                seqs = np.empty(len(pdf), dtype=np.int32)
-                local = np.empty(len(pdf), dtype=np.int64)
-                bad = np.zeros(len(pdf), dtype=bool)
-                starts = np.flatnonzero(
-                    np.r_[True, fid[1:] != fid[:-1]])
-                bounds = np.r_[starts, len(pdf)]
+                # (conv_id neighbor comparisons run vectorized in Arrow
+                # C++; UTF-8 byte order == codepoint order, so they
+                # agree with the pandas str comparisons they replace.)
+                fid = rb.column(name_idx["_fid"]).to_numpy(
+                    zero_copy_only=False)
+                conv = rb.column(name_idx["conv_id"])
+                tix = rb.column(name_idx["turn_idx"]).to_numpy(
+                    zero_copy_only=False)
+                seqs = np.empty(nr, dtype=np.int32)
+                local = np.empty(nr, dtype=np.int64)
+                bad = np.zeros(nr, dtype=bool)
+                if nr > 1:
+                    c_prev, c_cur = conv.slice(0, nr - 1), conv.slice(1)
+                    less = pc.less(c_cur, c_prev).to_numpy(
+                        zero_copy_only=False)
+                    eq = pc.equal(c_cur, c_prev).to_numpy(
+                        zero_copy_only=False)
+                    badn = less | (eq & (tix[1:] <= tix[:-1]))
+                starts = np.flatnonzero(np.r_[True, fid[1:] != fid[:-1]])
+                bounds = np.r_[starts, nr]
                 for s, e in zip(bounds[:-1], bounds[1:]):
                     sq = fseq.setdefault(int(fid[s]), len(fseq))
                     o = offs.get(sq, 0)
                     local[s:e] = np.arange(o, o + (e - s), dtype=np.int64)
                     offs[sq] = o + (e - s)
                     seqs[s:e] = sq
-                    cc, tt = c.iloc[s:e], t.iloc[s:e]
-                    bad[s:e] = ((cc < cc.shift())
-                                | ((cc == cc.shift())
-                                   & (tt <= tt.shift()))).fillna(False)
+                    if e > s + 1:
+                        bad[s + 1:e] = badn[s:e - 1]
                     tail = tails.get(sq)
                     if tail is not None:
-                        bad[s] |= (str(cc.iloc[0]), int(tt.iloc[0])) <= tail
-                    tails[sq] = (str(cc.iloc[-1]), int(tt.iloc[-1]))
-                out["local_idx"] = local
-                out["seq"] = seqs
-                out["ooo"] = bad.astype(np.int32)
-            elif verify_order:
-                out["seq"] = np.empty(0, dtype=np.int32)
-                out["ooo"] = np.empty(0, dtype=np.int32)
-            off += len(pdf)
-            yield out
+                        bad[s] |= (str(conv[s].as_py()),
+                                   int(tix[s])) <= tail
+                    tails[sq] = (str(conv[e - 1].as_py()), int(tix[e - 1]))
+                cols["local_idx"] = pa.array(local, type=pa.int64())
+                cols["seq"] = pa.array(seqs, type=pa.int32())
+                cols["ooo"] = pa.array(bad.astype(np.int32),
+                                       type=pa.int32())
+            off += nr
+            yield pa.RecordBatch.from_arrays(
+                list(cols.values()), names=list(cols.keys()))
 
     # attr columns keep their INPUT types (role/tool are strings, ts is
     # a timestamp — round 5: ts rides into the forward table so ES-style
     # date-range filters have a column to hit)
     in_types = dict(dfp.dtypes)
     attr_ddl = "".join(f", {a} {in_types[a]}" for a in attrs)
-    dfl = dfp.mapInPandas(
+    dfl = dfp.mapInArrow(
         local_idx_and_tokenize,
         schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
                "tokens array<string>, dl bigint, err string" + attr_ddl

@@ -67,18 +67,32 @@ def varint_encode(values: np.ndarray) -> bytes:
     return varint_encode_with_offsets(values)[0]
 
 
-def varint_decode(buf: bytes) -> np.ndarray:
-    """Vectorized varint decode -> uint64 array."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+def varint_decode(buf, dtype=np.uint64) -> np.ndarray:
+    """Vectorized varint decode -> `dtype` array (uint64 default).
+
+    Accepts bytes or an uint8 ndarray (zero-copy callers slice Arrow
+    buffers directly); `dtype` lets callers that immediately widen to
+    float64/int64 skip one intermediate copy — values are identical to
+    decoding uint64 first and astype-ing after."""
+    b = (buf if isinstance(buf, np.ndarray)
+         else np.frombuffer(buf, dtype=np.uint8))
     if b.size == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=dtype)
+    if int(b.max()) < 0x80:
+        # all-single-byte stream (no continuation bits): the bytes ARE
+        # the values. Posting streams are dominated by this shape —
+        # doc gaps of hot terms, tfs, and sub-128 dls are all 1-byte
+        # varints — and the one-pass widening is ~10× cheaper than the
+        # general run-length machinery below (driver profile: the
+        # general decode was 54% of a cold hot-term query).
+        return b.astype(dtype)
     is_last = (b & 0x80) == 0
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lens = ends - starts + 1
     pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens)
     vals7 = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
-    return np.add.reduceat(vals7, starts)
+    return np.add.reduceat(vals7, starts).astype(dtype, copy=False)
 
 
 def encode_blocks(

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkbm25 import catalog
+from sparkbm25 import catalog, localio
 from sparkbm25.analysis import tokenize_one
 from sparkbm25.codec import decode_blocks
 from sparkbm25.config import IndexConfig
@@ -833,12 +833,6 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
     # analog) — NO dictionary scan; df comes from the segment rows
     # themselves (sum of per-salt n_docs via a tiny window).
     buckets = sorted({cfg.term_bucket_of(t) for t in uniq_terms})
-    qdf = spark.createDataFrame(
-        qp,
-        schema="query_id int, term string, slot int, tidx int, "
-               "weight double, is_phrase boolean, n_terms int, slop int, "
-               "k int",
-    )
 
     pruned_segs = (
         _read_segments(spark, index_dir)
@@ -862,34 +856,58 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
         )
         .select("term", "idf")
     )
+    # one (term -> leaf list) map broadcast to the decode kernels: the
+    # round-5 plan joined qdf onto the segment rows BEFORE the decode,
+    # so a term referenced by L query leaves shipped its blocks bytes
+    # through Arrow L times and decoded them L times (the bench set's
+    # hot terms appear in 2-3 queries each — measured ~25%% of the
+    # whole-batch decode stage wasted on duplicate decodes). Now the
+    # scan stays one row per segment row, each row decodes ONCE, and
+    # the kernel fans the decoded arrays out per leaf from the
+    # broadcast map. Leaf rows emit in qp order per segment row; the
+    # per-leaf float expression is kept verbatim, so every emitted
+    # score is bitwise identical to the joined plan's.
+    leaf_map: dict[str, list[tuple]] = {}
+    for row in qp.itertuples(index=False):
+        leaf_map.setdefault(row.term, []).append(
+            (int(row.query_id), int(row.slot), int(row.tidx),
+             float(row.weight), bool(row.is_phrase), int(row.n_terms),
+             int(row.slop)))
+    leaf_bc = spark.sparkContext.broadcast(leaf_map)
+
     hits = (
         pruned_segs.select("term", "blocks")
-        .join(F.broadcast(qdf), "term")
         .join(F.broadcast(dfs), "term")
     )
 
     k1, b = cfg.k1, cfg.b
 
     def decode_score(batches):
+        lm = leaf_bc.value
         for pdf in batches:
             out = {c: [] for c in
                    ("query_id", "doc_ord", "slot", "tidx", "n_terms",
                     "score", "is_phrase")}
             for row in pdf.itertuples(index=False):
+                leaves = lm.get(row.term)
+                if not leaves:
+                    continue
                 docs, tfs, dls = decode_blocks(row.blocks)
                 if docs.size == 0:
                     continue
                 denom = tfs + k1 * (1.0 - b + b * (dls / avgdl))
-                w = row.weight * row.idf * (k1 + 1.0) * tfs / denom
                 n = docs.size
-                out["query_id"].append(np.full(n, row.query_id, dtype=np.int32))
-                out["doc_ord"].append(docs)
-                out["slot"].append(np.full(n, row.slot, dtype=np.int32))
-                out["tidx"].append(np.full(n, row.tidx, dtype=np.int32))
-                out["n_terms"].append(np.full(n, row.n_terms, dtype=np.int32))
-                out["score"].append(w)
-                out["is_phrase"].append(
-                    np.full(n, bool(row.is_phrase), dtype=bool))
+                for (query_id, slot, tidx, weight, is_phrase, n_terms,
+                     _slop) in leaves:
+                    w = weight * row.idf * (k1 + 1.0) * tfs / denom
+                    out["query_id"].append(np.full(n, query_id, dtype=np.int32))
+                    out["doc_ord"].append(docs)
+                    out["slot"].append(np.full(n, slot, dtype=np.int32))
+                    out["tidx"].append(np.full(n, tidx, dtype=np.int32))
+                    out["n_terms"].append(np.full(n, n_terms, dtype=np.int32))
+                    out["score"].append(w)
+                    out["is_phrase"].append(
+                        np.full(n, is_phrase, dtype=bool))
             if out["query_id"]:
                 yield pd.DataFrame(
                     {c: np.concatenate(v) for c, v in out.items()})
@@ -923,19 +941,25 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
         def decode_pos(batches):
             # positions stage: each block decoded ONCE (docs/tfs feed
             # both the score and the occurrence-count split — round-2
-            # decoded twice, VERDICT item 3)
+            # decoded twice, VERDICT item 3), and — like decode_score —
+            # once per SEGMENT ROW, fanned out per phrase leaf from the
+            # broadcast map (a term shared by P phrase leaves no longer
+            # re-decodes its blocks P times)
             from sparkbm25.codec import decode_block, decode_block_positions
 
+            lm = leaf_bc.value
             for pdf in batches:
                 out = {c: [] for c in ("query_id", "doc_ord", "slot",
                                        "tidx", "slop", "score", "positions")}
                 for row in pdf.itertuples(index=False):
+                    leaves = [l for l in lm.get(row.term, ()) if l[4]]
+                    if not leaves:
+                        continue
                     for blk in row.blocks:
                         docs, tfs, dls = decode_block(blk)
                         if docs.size == 0:
                             continue
                         denom = tfs + k1 * (1.0 - b + b * (dls / avgdl))
-                        w = row.weight * row.idf * (k1 + 1.0) * tfs / denom
                         flat, occ = decode_block_positions(blk, tfs)
                         plists = np.split(flat, occ[1:-1])
                         # explicit object array: np.array() would build
@@ -943,19 +967,24 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
                         parr = np.empty(len(plists), dtype=object)
                         parr[:] = plists
                         n = docs.size
-                        out["query_id"].append(
-                            np.full(n, row.query_id, dtype=np.int32))
-                        out["doc_ord"].append(docs)
-                        out["slot"].append(np.full(n, row.slot, dtype=np.int32))
-                        out["tidx"].append(np.full(n, row.tidx, dtype=np.int32))
-                        out["slop"].append(np.full(n, row.slop, dtype=np.int32))
-                        out["score"].append(w)
-                        out["positions"].append(parr)
+                        for (query_id, slot, tidx, weight, _isp,
+                             _n_terms, slop) in leaves:
+                            w = weight * row.idf * (k1 + 1.0) * tfs / denom
+                            out["query_id"].append(
+                                np.full(n, query_id, dtype=np.int32))
+                            out["doc_ord"].append(docs)
+                            out["slot"].append(np.full(n, slot, dtype=np.int32))
+                            out["tidx"].append(np.full(n, tidx, dtype=np.int32))
+                            out["slop"].append(np.full(n, slop, dtype=np.int32))
+                            out["score"].append(w)
+                            out["positions"].append(parr)
                 if out["query_id"]:
                     yield pd.DataFrame(
                         {c: np.concatenate(v) for c, v in out.items()})
 
-        pos_rows = hits.where(F.col("is_phrase")).mapInPandas(
+        phrase_terms = sorted({
+            t for t, leaves in leaf_map.items() if any(l[4] for l in leaves)})
+        pos_rows = hits.where(F.col("term").isin(phrase_terms)).mapInPandas(
             decode_pos,
             schema="query_id int, doc_ord bigint, slot int, tidx int, "
                    "slop int, score double, positions array<bigint>")
@@ -1354,6 +1383,106 @@ def search_batch(
 # Interactive driver path: Block-Max WAND
 # ---------------------------------------------------------------------------
 
+
+def _gather_ranges(data: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Concatenate data[starts[i]:starts[i]+lens[i]] for all i into one
+    uint8 array — a single vectorized gather (no per-range Python)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    out_off = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    idx = (np.arange(total, dtype=np.int64)
+           + np.repeat(starts - out_off[:-1], lens))
+    return data[idx]
+
+
+def _binary_child(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, data uint8) of a pyarrow BinaryArray,
+    slice-offset aware."""
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1,
+                        offset=arr.offset * 4).astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    return off, data
+
+
+def _term_streams_from_arrow(tb, inflate: float) -> dict[str, list]:
+    """Per-term block metadata + concatenated varint streams straight
+    from a (term, n_docs, blocks) Arrow table — the no-Python-objects
+    twin of the row-dict path (blocks ordered by first_doc; same
+    min(1.0, max_impact*inflate) float semantics). Returns
+    {term: [n_docs_sum, firsts, max, ns, {stream: (u8, lens)}]}."""
+    import pyarrow as pa
+
+    terms = tb.column("term").to_pylist()
+    n_docs = tb.column("n_docs").to_pylist()
+    blocks = tb.column("blocks")
+    if isinstance(blocks, pa.ChunkedArray):
+        blocks = (blocks.combine_chunks() if blocks.num_chunks != 1
+                  else blocks.chunk(0))
+    loff = np.frombuffer(blocks.buffers()[1], dtype=np.int32,
+                         count=len(blocks) + 1,
+                         offset=blocks.offset * 4).astype(np.int64)
+    # flatten() returns the values trimmed to the logical slice, so
+    # rebase the list offsets to it (slice-offset safe)
+    vals = blocks.flatten()
+    loff = loff - loff[0]
+    fd = vals.field("first_doc").to_numpy(zero_copy_only=False)
+    nn = vals.field("n").to_numpy(zero_copy_only=False)
+    mi = vals.field("max_impact").to_numpy(zero_copy_only=False)
+    stream_names = ["gaps", "tfs", "dls"]
+    if "pos" in (f.name for f in vals.type):
+        stream_names.append("pos")
+    childs = {nm: _binary_child(vals.field(nm)) for nm in stream_names}
+    rows_by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        rows_by_term.setdefault(t, []).append(i)
+    out: dict[str, list] = {}
+    for t, rows in rows_by_term.items():
+        idx = np.concatenate([np.arange(loff[i], loff[i + 1])
+                              for i in rows])
+        order = np.argsort(fd[idx], kind="stable")
+        sidx = idx[order]
+        maxi = mi[sidx]
+        if inflate != 1.0:
+            maxi = np.minimum(1.0, maxi * inflate)
+        streams = {}
+        for nm, (coff, cdata) in childs.items():
+            lens = coff[sidx + 1] - coff[sidx]
+            streams[nm] = (_gather_ranges(cdata, coff[sidx], lens), lens)
+        out[t] = [sum(int(n_docs[i]) for i in rows),
+                  fd[sidx], maxi, nn[sidx], streams]
+    return out
+
+
+def _merge_term_streams(parts: list[list]) -> "_TermPostings":
+    """Merge one term's per-generation stream bundles (each internally
+    first_doc-ordered) into a single _TermPostings."""
+    if len(parts) == 1:
+        _nd, firsts, maxi, ns, streams = parts[0]
+        return _TermPostings.from_streams(
+            firsts, maxi, ns, streams["gaps"][0], streams["tfs"][0],
+            streams["dls"][0],
+            pos=streams["pos"][0] if "pos" in streams else None)
+    firsts = np.concatenate([p[1] for p in parts])
+    maxi = np.concatenate([p[2] for p in parts])
+    ns = np.concatenate([p[3] for p in parts])
+    order = np.argsort(firsts, kind="stable")
+    merged = {}
+    for nm in parts[0][4]:
+        data = np.concatenate([p[4][nm][0] for p in parts])
+        lens = np.concatenate([p[4][nm][1] for p in parts])
+        starts = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        merged[nm] = _gather_ranges(data, starts[:-1][order], lens[order])
+    return _TermPostings.from_streams(
+        firsts[order], maxi[order], ns[order], merged["gaps"],
+        merged["tfs"], merged["dls"], pos=merged.get("pos"))
+
+
 _INF_DOC = 2 ** 62
 # max structured-filter predicates per one-pass explode leg (see the
 # chunking comment in search_batch)
@@ -1411,12 +1540,49 @@ class _TermPostings:
             if first_pos is not None:
                 self.pos_blobs = [get(blk, "pos") for blk in blocks]
                 self.pos_bytes = sum(len(b) for b in self.pos_blobs)
-        self.firsts = [get(blk, "first_doc") for blk in blocks]
-        self.max_impacts = [float(get(blk, "max_impact")) for blk in blocks]
-        self.firsts_np = np.asarray(self.firsts, dtype=np.int64)
-        self.max_np = np.asarray(self.max_impacts, dtype=np.float64)
-        self.n = len(blocks)
+        self.firsts_np = np.asarray(
+            [get(blk, "first_doc") for blk in blocks], dtype=np.int64)
+        self.max_np = np.asarray(
+            [float(get(blk, "max_impact")) for blk in blocks],
+            dtype=np.float64)
         ns = np.array([get(blk, "n") for blk in blocks], dtype=np.int64)
+        self._finish(ns,
+                     b"".join(get(blk, "gaps") for blk in blocks),
+                     b"".join(get(blk, "tfs") for blk in blocks),
+                     b"".join(get(blk, "dls") for blk in blocks))
+
+    @classmethod
+    def from_streams(cls, firsts_np: np.ndarray, max_np: np.ndarray,
+                     ns: np.ndarray, gaps, tfs, dls,
+                     pos=None) -> "_TermPostings":
+        """Construct from pre-gathered per-block metadata arrays plus
+        CONCATENATED byte streams in first_doc block order — the
+        zero-Python-object path the local pyarrow fetch uses (no
+        per-block dicts/bytes; the streams are single gathers over the
+        Arrow child buffers). Semantically identical to __init__ over
+        the equivalent block dicts."""
+        self = cls.__new__(cls)
+        self.unit = None
+        self.unit_key = None
+        self.pos_blobs = None
+        self.pos_bytes = 0
+        self.pos_flat = None
+        self.pos_occ = None
+        if pos is not None:
+            # one pre-concatenated blob behaves exactly like the
+            # per-block list (decode_positions_full joins them anyway)
+            blob = pos if isinstance(pos, bytes) else pos.tobytes()
+            self.pos_blobs = [blob]
+            self.pos_bytes = len(blob)
+        self.firsts_np = np.asarray(firsts_np, dtype=np.int64)
+        self.max_np = np.asarray(max_np, dtype=np.float64)
+        self._finish(np.asarray(ns, dtype=np.int64), gaps, tfs, dls)
+        return self
+
+    def _finish(self, ns: np.ndarray, gaps, tfs, dls) -> None:
+        self.firsts = self.firsts_np.tolist()
+        self.max_impacts = self.max_np.tolist()
+        self.n = self.firsts_np.size
         total = int(ns.sum()) if self.n else 0
         starts = np.zeros(self.n + 1, dtype=np.int64)
         if self.n:
@@ -1425,11 +1591,9 @@ class _TermPostings:
         self.total = total
         from sparkbm25.codec import varint_decode
 
-        gaps = varint_decode(b"".join(get(blk, "gaps") for blk in blocks))
-        self.all_tfs = varint_decode(
-            b"".join(get(blk, "tfs") for blk in blocks)).astype(np.float64)
-        self.all_dls = varint_decode(
-            b"".join(get(blk, "dls") for blk in blocks)).astype(np.float64)
+        gaps = varint_decode(gaps, dtype=np.int64)
+        self.all_tfs = varint_decode(tfs, dtype=np.float64)
+        self.all_dls = varint_decode(dls, dtype=np.float64)
         # grouped cumsum with a reset at every block start: gfull holds
         # the absolute first_doc at starts and the gaps elsewhere, so
         # docs = cumsum(gfull) rebased per block
@@ -1438,8 +1602,8 @@ class _TermPostings:
         if total:
             mask = np.ones(total, dtype=bool)
             mask[bs] = False
-            gfull[mask] = gaps.astype(np.int64)
-            gfull[bs] = np.asarray(self.firsts, dtype=np.int64)
+            gfull[mask] = gaps
+            gfull[bs] = self.firsts_np
             cs = np.cumsum(gfull)
             base = (cs[bs] - gfull[bs]).astype(np.int64)
             self.all_docs = cs - np.repeat(base, ns)
@@ -1637,15 +1801,17 @@ class Searcher:
         self._df_cache: dict[str, int] | None = None
         self._df_cache_checked = False
         # LRU decoded-postings cache keyed by term: an interactive
-        # session repeats vocabulary, and the per-query fetch job
-        # (0.2-0.4 s) is the latency floor once scoring is vectorized.
-        # Bounded by TOTAL CACHED POSTINGS (not terms), so one hot
-        # stopword can't blow the driver; 0 disables. Default = the
-        # per-query collect bound (~24 bytes/posting decoded ⇒ 10M ≈
-        # 240 MB): anything below the working set of a repeated query
-        # mix thrashes — a 5M budget measurably evicted the first hot
-        # term of the 10-query bench set between passes.
-        self.cache_postings_budget = max_driver_postings
+        # session repeats vocabulary, and the per-query fetch is the
+        # latency floor once scoring is vectorized. Bounded by TOTAL
+        # CACHED POSTINGS (not terms), so one hot stopword can't blow
+        # the driver; 0 disables. Default = 4× the per-query collect
+        # bound (~24 bytes/posting decoded ⇒ 40M ≈ 1 GB): the budget
+        # must hold the working set of a repeated query MIX, not one
+        # query — at the 9.6M-turn scale a 10M budget (= the r5
+        # default) evicted the warm pass's first hot term between
+        # passes, turning a sub-ms warm repeat into a multi-second
+        # re-fetch (BENCH_r05 queries_warm q0 4.7 s).
+        self.cache_postings_budget = 4 * max_driver_postings
         self._post_cache: dict[str, tuple["_TermPostings | list", int, int]] = {}
         self._post_cache_postings = 0
         # doc_ord -> (conv_id, turn_idx, {attr: value}) forward-row
@@ -1677,21 +1843,51 @@ class Searcher:
         self.dense_min_postings = 1 << 17
         self.last_path: str | None = None
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(index_dir)
-        # per-generation segment DataFrames created ONCE: repeated
-        # queries reuse the resolved file index + parquet footers
-        # instead of re-listing the segment tree per search (partition
-        # pruning by term_bucket still applies per query — it's a
-        # planning-time filter over the cached file index). A Searcher
-        # is bound to the generation set it saw at construction — after
-        # update_index / compact_generations on the same root, call
-        # refresh() (or build a new Searcher); compaction DELETES the
-        # superseded generation dirs, so a stale snapshot would fail.
-        # (an empty-corpus index has no readable segment schema; its
-        # searches return empty before ever touching segments)
-        self._seg_dfs = [
-            spark.read.parquet(catalog.segments_dir(gen["dir"]))
-            for gen in self.gens
-        ] if self.n_docs > 0 else []
+        self._bind_generations()
+
+    def _bind_generations(self) -> None:
+        """Bind the per-generation readers for the CURRENT self.gens.
+
+        Local index roots get direct pyarrow readers for the driver's
+        point reads (postings fetch / df probe / doc resolve) — no
+        Spark job per cold query (localio module docstring has the
+        measurements); non-local roots leave them None and every
+        caller falls back to the Spark path. The per-generation
+        segment DataFrames are created LAZILY (first _gen_union):
+        repeated queries reuse the resolved file index + parquet
+        footers instead of re-listing the segment tree per search,
+        and a Searcher whose queries are all served locally never
+        pays the Spark-side listing at all. A Searcher is bound to
+        the generation set it saw at construction — after
+        update_index / compact_generations on the same root, call
+        refresh() (or build a new Searcher); compaction DELETES the
+        superseded generation dirs, so a stale snapshot would fail.
+        (an empty-corpus index has no readable segment schema; its
+        searches return empty before ever touching segments)"""
+        self._seg_dfs_cache: list[DataFrame] | None = None
+        self._local_segs = None
+        self._local_docs = None
+        if self.n_docs > 0:
+            seg_roots = [localio.local_path(catalog.segments_dir(g["dir"]))
+                         for g in self.gens]
+            doc_roots = [localio.local_path(catalog.docs_dir(g["dir"]))
+                         for g in self.gens]
+            if all(r is not None for r in seg_roots + doc_roots):
+                self._local_segs = [
+                    localio.LocalParquetIndex(r, "term_bucket")
+                    for r in seg_roots]
+                self._local_docs = [
+                    localio.LocalParquetIndex(r, "doc_block")
+                    for r in doc_roots]
+
+    @property
+    def _seg_dfs(self) -> list[DataFrame]:
+        if self._seg_dfs_cache is None:
+            self._seg_dfs_cache = [
+                self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
+                for gen in self.gens
+            ] if self.n_docs > 0 else []
+        return self._seg_dfs_cache
 
     def refresh(self) -> "Searcher":
         """Re-bind to the index's current generation set (after an
@@ -1705,10 +1901,7 @@ class Searcher:
         self._exp_cache.clear()
         self._exp_cache_terms = 0
         self.n_docs, self.avgdl, self.cfg, self.gens = _load_stats(self.index_dir)
-        self._seg_dfs = [
-            self.spark.read.parquet(catalog.segments_dir(gen["dir"]))
-            for gen in self.gens
-        ] if self.n_docs > 0 else []
+        self._bind_generations()
         return self
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -1772,20 +1965,51 @@ class Searcher:
         once and later probes are dict lookups (no Spark job)."""
         if not self._df_cache_checked:
             self._df_cache_checked = True
-            # parquet count() is metadata-only — one cheap job, once
-            n_rows = sum(df.count() for df in self._seg_dfs)
-            if self._seg_dfs and n_rows <= self.max_cached_dict_rows:
-                cache: dict[str, int] = {}
-                rows = None
-                for df in self._seg_dfs:
-                    part = df.select("term", "n_docs")
-                    rows = part if rows is None else rows.unionByName(part)
-                for r in rows.collect():
-                    cache[r["term"]] = cache.get(r["term"], 0) + int(r["n_docs"])
-                self._df_cache = cache
+            if self._local_segs is not None:
+                # local fast path: footer-only row count, then ONE
+                # column-pruned read aggregated in Arrow C++ — no
+                # Spark job at all (localio module docstring)
+                n_rows = sum(ix.count_rows() for ix in self._local_segs)
+                if n_rows <= self.max_cached_dict_rows:
+                    cache = {}
+                    for ix in self._local_segs:
+                        tb = ix.read(None, ["term", "n_docs"])
+                        if tb is None:
+                            continue
+                        agg = tb.group_by("term").aggregate(
+                            [("n_docs", "sum")])
+                        for t, nd in zip(agg.column("term").to_pylist(),
+                                         agg.column("n_docs_sum").to_pylist()):
+                            cache[t] = cache.get(t, 0) + int(nd)
+                    self._df_cache = cache
+            else:
+                # parquet count() is metadata-only — one cheap job, once
+                n_rows = sum(df.count() for df in self._seg_dfs)
+                if self._seg_dfs and n_rows <= self.max_cached_dict_rows:
+                    cache: dict[str, int] = {}
+                    rows = None
+                    for df in self._seg_dfs:
+                        part = df.select("term", "n_docs")
+                        rows = part if rows is None else rows.unionByName(part)
+                    for r in rows.collect():
+                        cache[r["term"]] = cache.get(r["term"], 0) + int(r["n_docs"])
+                    self._df_cache = cache
         if self._df_cache is not None:
             return {t: self._df_cache[t] for t in terms if t in self._df_cache}
         dfs: dict[str, int] = {}
+        if self._local_segs is not None:
+            import pyarrow.compute as pc
+
+            buckets = sorted({self.cfg.term_bucket_of(t) for t in terms})
+            filt = pc.field("term").isin(list(terms))
+            for ix in self._local_segs:
+                tb = ix.read(buckets, ["term", "n_docs"], filter=filt)
+                if tb is None:
+                    continue
+                for t, nd in zip(tb.column("term").to_pylist(),
+                                 tb.column("n_docs").to_pylist()):
+                    dfs[t] = dfs.get(t, 0) + int(nd)
+            return dfs
         for r in self._gen_union(terms, ["term", "n_docs"]).collect():
             dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
         return dfs
@@ -1872,7 +2096,10 @@ class Searcher:
             self._post_cache_postings -= old[2]
 
     def _fetch_postings_scan(self, terms: list[str]) -> tuple[dict[str, list], dict[str, int]]:
-        """The actual pruned fetch job (cache-miss path)."""
+        """The actual pruned fetch (cache-miss path): a direct pyarrow
+        read for local index roots (same partition pruning + rowgroup
+        pushdown, no Spark job — localio module docstring), the pruned
+        Spark collect otherwise."""
         # block-max metadata was encoded with each generation's avgdl;
         # inflate by max(1, avgdl_global/avgdl_gen) so the stored upper
         # bound stays sound under the global stats
@@ -1883,15 +2110,33 @@ class Searcher:
                 max(1.0, self.avgdl / gen_avgdl) if gen_avgdl else 1.0)
         post: dict[str, list] = {}
         dfs: dict[str, int] = {}
-        rows = self._gen_union(terms, ["term", "n_docs", "blocks"]).collect()
-        for r in rows:
-            inflate = inflates[r["_g"]]
-            blks = [blk.asDict() for blk in r["blocks"]]
-            if inflate != 1.0:
-                for blk in blks:
-                    blk["max_impact"] = min(1.0, blk["max_impact"] * inflate)
-            post.setdefault(r["term"], []).extend(blks)
-            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
+        if self._local_segs is not None:
+            import pyarrow.compute as pc
+
+            buckets = sorted({self.cfg.term_bucket_of(t) for t in terms})
+            filt = pc.field("term").isin(list(terms))
+            parts: dict[str, list] = {}
+            for gi, ix in enumerate(self._local_segs):
+                tb = ix.read(buckets, ["term", "n_docs", "blocks"],
+                             filter=filt)
+                if tb is None or tb.num_rows == 0:
+                    continue
+                for t, bundle in _term_streams_from_arrow(
+                        tb, inflates[gi]).items():
+                    parts.setdefault(t, []).append(bundle)
+                    dfs[t] = dfs.get(t, 0) + bundle[0]
+            return ({t: _merge_term_streams(p) for t, p in parts.items()},
+                    dfs)
+        else:
+            rows = self._gen_union(terms, ["term", "n_docs", "blocks"]).collect()
+            for r in rows:
+                inflate = inflates[r["_g"]]
+                blks = [blk.asDict() for blk in r["blocks"]]
+                if inflate != 1.0:
+                    for blk in blks:
+                        blk["max_impact"] = min(1.0, blk["max_impact"] * inflate)
+                post.setdefault(r["term"], []).extend(blks)
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
         # decode once here: the cache (and every cursor built from it)
         # shares the flat arrays — warm queries never touch varints
         return {t: _TermPostings(b) for t, b in post.items()}, dfs
@@ -1899,6 +2144,10 @@ class Searcher:
     def _attr_cols(self) -> list[str]:
         """Structured-filter attribute columns present in the forward
         table (cached rows carry them for python_filter)."""
+        if self._local_docs is not None:
+            names = self._local_docs[0].schema_names()
+            if names:
+                return [c for c in ("role", "tool", "ts") if c in names]
         return [c for c in ("role", "tool", "ts")
                 if c in self._forward_docs().columns]
 
@@ -1916,6 +2165,25 @@ class Searcher:
             return
         attrs = self._attr_cols()
         blocks = sorted({o // self.cfg.doc_block_size for o in need})
+        if self._local_docs is not None:
+            # local fast path: doc_block dir pruning + a doc_ord
+            # rowgroup-statistics filter, straight through pyarrow (the
+            # forward table is written doc_ord-contiguous, so the
+            # stats are tight) — no Spark job, no isin-literal plans
+            import pyarrow.compute as pc
+
+            filt = pc.field("doc_ord").isin(need)
+            cols = ["doc_ord", "conv_id", "turn_idx", *attrs]
+            for ix in self._local_docs:
+                tb = ix.read(blocks, cols, filter=filt)
+                if tb is None or tb.num_rows == 0:
+                    continue
+                tb = localio.strip_tz(tb)
+                for r in tb.to_pylist():
+                    self._cache_doc(int(r["doc_ord"]),
+                                    (r["conv_id"], int(r["turn_idx"]),
+                                     {a: r[a] for a in attrs}))
+            return
         base = (self._forward_docs()
                 .where(F.col("doc_block").isin(blocks)))
         if len(need) <= 256:
