@@ -30,21 +30,11 @@ _IS_TOKEN_BYTE[ord("a"):ord("z") + 1] = True
 _IS_TOKEN_BYTE[ord("0"):ord("9") + 1] = True
 
 
-def tokenize_arrow_ascii(arr, max_content_length: int = 0):
-    """Vectorized tokenize of a pyarrow StringArray for the DEFAULT
-    token pattern over pure-ASCII text: byte-table lowercase + token
-    classification + one gather, no per-row Python and no Python
-    string objects — the whole result is two Arrow buffers.
-
-    Returns (tokens ListArray, dl int64 ndarray), or None when the
-    batch is not eligible (any non-ASCII byte — Unicode lowercasing
-    can change byte sequences, e.g. U+0130 lowercases INTO ascii 'i' +
-    a combining dot), in which case the caller must use the
-    tokenize_series path. For ASCII input this is equal by
-    construction: str.lower() == byte+32 on A-Z, and [a-z0-9]+ runs ==
-    maximal runs of the token byte class, split at row boundaries.
-    Truncation (max_content_length) caps each row at that many BYTES
-    (== characters for ASCII) before tokenizing, like str.slice."""
+def _token_bounds_ascii(arr, max_content_length: int = 0):
+    """Shared core of the vectorized ASCII fast path: lowercased bytes
+    + token boundaries. Returns (low uint8, tok_start, tok_end,
+    row_off, n_rows) or None when the batch is not eligible (non-ASCII
+    byte / non-string type)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -93,6 +83,42 @@ def tokenize_arrow_ascii(arr, max_content_length: int = 0):
     nxt[er] = False
     tok_start = np.flatnonzero(m & ~prev)
     tok_end = np.flatnonzero(m & ~nxt) + 1
+    return low, tok_start, tok_end, row_off, n_rows
+
+
+def count_tokens_arrow_ascii(arr, max_content_length: int = 0):
+    """dl (token count per row, int64 ndarray) WITHOUT materializing
+    token lists — the cheap pass for consumers that only need doc
+    lengths (forward table, stats). Same eligibility contract as
+    tokenize_arrow_ascii (None -> pandas fallback)."""
+    bounds = _token_bounds_ascii(arr, max_content_length)
+    if bounds is None:
+        return None
+    _low, tok_start, _tok_end, row_off, _n_rows = bounds
+    return np.diff(np.searchsorted(tok_start, row_off)).astype(np.int64)
+
+
+def tokenize_arrow_ascii(arr, max_content_length: int = 0):
+    """Vectorized tokenize of a pyarrow StringArray for the DEFAULT
+    token pattern over pure-ASCII text: byte-table lowercase + token
+    classification + one gather, no per-row Python and no Python
+    string objects — the whole result is two Arrow buffers.
+
+    Returns (tokens ListArray, dl int64 ndarray), or None when the
+    batch is not eligible (any non-ASCII byte — Unicode lowercasing
+    can change byte sequences, e.g. U+0130 lowercases INTO ascii 'i' +
+    a combining dot), in which case the caller must use the
+    tokenize_series path. For ASCII input this is equal by
+    construction: str.lower() == byte+32 on A-Z, and [a-z0-9]+ runs ==
+    maximal runs of the token byte class, split at row boundaries.
+    Truncation (max_content_length) caps each row at that many BYTES
+    (== characters for ASCII) before tokenizing, like str.slice."""
+    import pyarrow as pa
+
+    bounds = _token_bounds_ascii(arr, max_content_length)
+    if bounds is None:
+        return None
+    low, tok_start, tok_end, row_off, n_rows = bounds
     lens = tok_end - tok_start
     total = int(lens.sum())
     out_off = np.zeros(lens.size + 1, dtype=np.int64)

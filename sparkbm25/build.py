@@ -70,9 +70,18 @@ class BuildResult:
     turns_per_sec: float
 
 
-def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -> DataFrame:
+def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0,
+                    cache_tokens: bool = True) -> DataFrame:
     """Stable dense docID by (conv_id, turn_idx) order (SURVEY §7.0 O4)
     fused with tokenization — ONE Python/Arrow crossing for both.
+
+    cache_tokens=False (verify-order packed builds) keeps token LISTS
+    out of this stage entirely: the kernel computes dl with the cheap
+    boundary-count pass, the persisted bookkeeping cache shrinks to the
+    id/dl/err proxy rows (guide §8: decide with small rows), and the
+    caller re-derives (doc_ord, tokens) in its own fused scan via the
+    attached `_sparkbm25_dfp` (the pre-kernel scan) and
+    `_sparkbm25_offsets` ({(pid, seq): doc_ord offset}) handles.
 
     Scale-safe: range-repartition + partition-local index via
     mapInPandas + broadcast join of per-partition offsets. No global
@@ -130,10 +139,14 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
             .withColumn("pid", F.spark_partition_id())
         )
 
-    from sparkbm25.analysis import (DEFAULT_TOKEN_PATTERN, tokenize_arrow_ascii,
-                                    tokenize_series)
+    from sparkbm25.analysis import (DEFAULT_TOKEN_PATTERN,
+                                    count_tokens_arrow_ascii,
+                                    tokenize_arrow_ascii, tokenize_series)
 
     pattern, maxlen = config.token_pattern, config.max_content_length
+    if not cache_tokens and not verify_order:
+        raise ValueError("cache_tokens=False requires input_order='verify' "
+                         "(the re-scan must be deterministic)")
 
     def local_idx_and_tokenize(batches):
         # ONE Arrow pass: tokenization runs the vectorized byte-level
@@ -157,14 +170,27 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
                 continue
             name_idx = {n: i for i, n in enumerate(rb.schema.names)}
             text = rb.column(name_idx["text"])
-            fast = (tokenize_arrow_ascii(text, maxlen)
-                    if pattern == DEFAULT_TOKEN_PATTERN else None)
-            if fast is not None:
-                toks, dl = fast
+            toks = None
+            if not cache_tokens:
+                # dl-only pass: token lists are derived later in the
+                # caller's fused scan, never materialized here
+                dl = (count_tokens_arrow_ascii(text, maxlen)
+                      if pattern == DEFAULT_TOKEN_PATTERN else None)
+                if dl is None:
+                    dl = tokenize_series(
+                        text.to_pandas(), pattern,
+                        maxlen).str.len().to_numpy(dtype=np.int64)
             else:
-                toks_pd = tokenize_series(text.to_pandas(), pattern, maxlen)
-                toks = pa.array(toks_pd.tolist(), type=pa.list_(pa.string()))
-                dl = toks_pd.str.len().to_numpy(dtype=np.int64)
+                fast = (tokenize_arrow_ascii(text, maxlen)
+                        if pattern == DEFAULT_TOKEN_PATTERN else None)
+                if fast is not None:
+                    toks, dl = fast
+                else:
+                    toks_pd = tokenize_series(text.to_pandas(), pattern,
+                                              maxlen)
+                    toks = pa.array(toks_pd.tolist(),
+                                    type=pa.list_(pa.string()))
+                    dl = toks_pd.str.len().to_numpy(dtype=np.int64)
             # per-row error side-output (F5, es_translator.py:264-271
             # logs-and-continues per doc and keeps the error record):
             # poison rows are kept (they index as empty docs) and
@@ -183,7 +209,7 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
                 "local_idx": pa.array(
                     np.arange(off, off + nr, dtype=np.int64),
                     type=pa.int64()),
-                "tokens": toks,
+                **({"tokens": toks} if cache_tokens else {}),
                 "dl": pa.array(dl, type=pa.int64()),
                 "err": err,
                 **{a: rb.column(name_idx[a]) for a in attrs},
@@ -253,7 +279,8 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     dfl = dfp.mapInArrow(
         local_idx_and_tokenize,
         schema="pid int, conv_id string, turn_idx int, local_idx bigint, "
-               "tokens array<string>, dl bigint, err string" + attr_ddl
+               + ("tokens array<string>, " if cache_tokens else "")
+               + "dl bigint, err string" + attr_ddl
                + (", seq int, ooo int" if verify_order else ""),
     )
     # persist: the range partitioner samples; pin the partitioning so
@@ -321,6 +348,15 @@ def assign_doc_ords(df: DataFrame, config: IndexConfig, doc_ord_base: int = 0) -
     )
     out._sparkbm25_cached = dfl  # so build_index can unpersist
     out._sparkbm25_counts = counts  # (pid, count, sum_dl) for stats
+    if not cache_tokens:
+        # handles for the caller's fused (tokenize + doc_ord) re-scan:
+        # the scan plan is deterministic (same files, same pinned split
+        # sizing, verify-proven per-file order), so the kernel re-derives
+        # identical (pid, seq, local_idx) and maps them through offsets
+        out._sparkbm25_dfp = dfp
+        out._sparkbm25_offsets = {
+            (int(p), int(s)): int(o)
+            for p, s, o in zip(counts["pid"], counts["seq"], offsets)}
     return out
 
 
@@ -583,7 +619,64 @@ def _make_stream_encoder(k1: float, b: float, avgdl: float, block_size: int,
     return encode
 
 
-def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
+def _make_tok_ingest(offsets_bc, pattern: str, maxlen: int):
+    """Ingest factory for the FUSED tokenize+pack scan (verify-order
+    packed builds): batches carry (pid, _fid, text); the per-task
+    closure re-derives the bookkeeping pass's (seq, local_idx) from the
+    same deterministic file runs and maps them through the broadcast
+    {(pid, seq): offset} table to absolute doc_ords. Token lists exist
+    only inside the Python worker that immediately packs them — they
+    never cross to the JVM or into any cache (guide §8: the heavy
+    token bytes move exactly once, straight into the packed runs)."""
+    from sparkbm25.analysis import (DEFAULT_TOKEN_PATTERN,
+                                    tokenize_arrow_ascii, tokenize_series)
+
+    def make():
+        import pyarrow as pa
+
+        fseq: dict = {}
+        offs: dict = {}
+        omap = offsets_bc.value
+
+        def ingest(rb):
+            nr = rb.num_rows
+            ni = {n: i for i, n in enumerate(rb.schema.names)}
+            text = rb.column(ni["text"])
+            fast = (tokenize_arrow_ascii(text, maxlen)
+                    if pattern == DEFAULT_TOKEN_PATTERN else None)
+            if fast is not None:
+                toks = fast[0]
+            else:
+                toks_pd = tokenize_series(text.to_pandas(), pattern, maxlen)
+                toks = pa.array(toks_pd.tolist(), type=pa.list_(pa.string()))
+            pid = int(rb.column(ni["pid"])[0].as_py())
+            fid = rb.column(ni["_fid"]).to_numpy(zero_copy_only=False)
+            docs = np.empty(nr, dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, fid[1:] != fid[:-1]])
+            bounds = np.r_[starts, nr]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                sq = fseq.setdefault(int(fid[s]), len(fseq))
+                o = offs.get(sq, 0)
+                off0 = omap.get((pid, sq))
+                if off0 is None:
+                    # the bookkeeping pass never saw this unit — the
+                    # scan is not reproducing the same split layout
+                    raise RuntimeError(
+                        "fused packed re-scan hit a (pid, seq) unit "
+                        "absent from the bookkeeping pass; the input "
+                        "scan is not deterministic — rebuild with "
+                        "encoder='stream' or input_order='shuffle'")
+                docs[s:e] = off0 + o + np.arange(e - s, dtype=np.int64)
+                offs[sq] = o + (e - s)
+            return docs, toks
+
+        return ingest
+
+    return make
+
+
+def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool,
+                      make_ingest=None):
     """Map-side SPIMI combine (encoder='packed'): one Arrow pass per
     doc-contiguous input partition that turns (doc_ord, tokens) rows
     into ONE packed row per (term, salt):
@@ -626,21 +719,30 @@ def _make_pack_kernel(ns: int, base: int, n_docs: int, with_pos: bool):
     globally range-disjoint run, which is what the reduce-side
     min_doc concatenation merge requires."""
 
+    def default_ingest():
+        def ingest(rb):
+            return (rb.column(rb.schema.get_field_index("doc_ord"))
+                    .to_numpy(zero_copy_only=False),
+                    rb.column(rb.schema.get_field_index("tokens")))
+        return ingest
+
+    make_ingest_ = make_ingest or default_ingest
+
     def pack(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
         from sparkbm25.codec import varint_encode_with_offsets
 
+        ingest = make_ingest_()
         doc_chunks: list[np.ndarray] = []
         tok_chunks: list = []
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            doc_chunks.append(
-                rb.column(rb.schema.get_field_index("doc_ord"))
-                .to_numpy(zero_copy_only=False))
-            tok_chunks.append(rb.column(rb.schema.get_field_index("tokens")))
+            docs_b, toks_b = ingest(rb)
+            doc_chunks.append(docs_b)
+            tok_chunks.append(toks_b)
         if not doc_chunks:
             return
         docs_d = np.concatenate(doc_chunks)
@@ -1010,7 +1112,18 @@ def build_index(
         n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     else:
         s0 = time.time()
-        df_tok = assign_doc_ords(transcripts, config, doc_ord_base)
+        # verify-order packed builds keep token lists OUT of the
+        # bookkeeping cache entirely: stage 1 caches only the small
+        # id/dl/err proxy rows, and stage 2 re-derives (doc_ord,
+        # tokens) inside the fused tokenize+pack scan (see
+        # _make_tok_ingest) — the heavy token bytes go straight from
+        # the input scan into packed runs, crossing the Python
+        # boundary exactly once and never entering the block cache
+        light_packed = (config.encoder == "packed"
+                        and not config.checkpoint_runs
+                        and config.input_order == "verify")
+        df_tok = assign_doc_ords(transcripts, config, doc_ord_base,
+                                 cache_tokens=not light_packed)
 
         # forward table (doc_ord ↔ (conv_id, turn_idx), dl) — needed for
         # top-k id resolution and the text-equality invariant check.
@@ -1064,7 +1177,16 @@ def build_index(
             # flattens the tokens ListArray zero-copy and aggregates
             # (term, doc) runs inside the partition (positions ride the
             # token order, so store_positions needs no posexplode either)
-            occurrences = df_tok.select("doc_ord", "tokens")
+            if light_packed:
+                # fused scan input: narrow (pid, _fid, text) columns
+                # straight off the input scan; the pack ingest
+                # tokenizes and assigns doc_ords itself
+                occurrences = df_tok._sparkbm25_dfp.select(
+                    "pid", "_fid", "text")
+                pack_offsets = df_tok._sparkbm25_offsets
+            else:
+                occurrences = df_tok.select("doc_ord", "tokens")
+                pack_offsets = None
         elif config.store_positions:
             occurrences = df_tok.select(
                 "doc_ord", F.col("dl").cast("int").alias("dl"),
@@ -1240,8 +1362,14 @@ def build_index(
             # into the same block codec — segments byte-identical to
             # the 'stream' path
             with_pos = config.store_positions
+            make_ingest = None
+            if pack_offsets is not None:
+                make_ingest = _make_tok_ingest(
+                    spark.sparkContext.broadcast(pack_offsets),
+                    config.token_pattern, config.max_content_length)
             pack = _make_pack_kernel(
-                config.n_salt_buckets, doc_ord_base, n_docs, with_pos)
+                config.n_salt_buckets, doc_ord_base, n_docs, with_pos,
+                make_ingest=make_ingest)
             packed_schema = (
                 "term string, salt int, min_doc bigint, n_runs bigint, "
                 "runs binary" + (", pos binary" if with_pos else ""))

@@ -839,23 +839,48 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
         .where(F.col("term_bucket").isin(buckets))     # partition pruning
         .where(F.col("term").isin(uniq_terms))         # rowgroup pushdown
     )
-    # df per term as a NARROW aggregate broadcast back to the scan —
-    # NOT a Window.partitionBy(term) over the segment rows: the window
-    # would shuffle the blocks payload itself through an exchange
-    # (round-2 did; at 960k turns that one exchange made a 1-query
-    # batch cost the same ~7s as a 10-query batch). The agg subplan
-    # reads only (term, n_docs) — parquet column pruning keeps the
-    # blocks bytes out — and the blocks column now flows scan →
-    # broadcast-join → decode with no shuffle at all.
-    dfs = (
-        pruned_segs.groupBy("term")
-        .agg(F.sum("n_docs").alias("df"))
-        .withColumn(
-            "idf",
-            F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    # df per term: for a LOCAL index root, ONE column-pruned pyarrow
+    # read of (term, n_docs) on the driver — the ES-coordinator shape
+    # (term stats come from shard metadata, not from a cluster job) —
+    # and idf ships to the decode kernels inside the same broadcast as
+    # the plan; the blocks column then flows scan → decode with no
+    # join node at all. Non-local roots keep the round-5 shape: a
+    # NARROW aggregate broadcast back to the scan — NOT a
+    # Window.partitionBy(term) over the segment rows, whose exchange
+    # would shuffle the blocks payload itself (round-2 did; at 960k
+    # turns that one exchange made a 1-query batch cost the same ~7s
+    # as a 10-query batch). The agg subplan reads only (term, n_docs)
+    # — parquet column pruning keeps the blocks bytes out.
+    idf_map: dict[str, float] | None = None
+    seg_roots = [localio.local_path(p)
+                 for p in catalog.segments_paths(index_dir)]
+    if all(r is not None for r in seg_roots):
+        import pyarrow.compute as pc
+
+        df_by_term: dict[str, int] = {}
+        filt = pc.field("term").isin(uniq_terms)
+        for root in seg_roots:
+            ix = localio.LocalParquetIndex(root, "term_bucket")
+            tb = ix.read(buckets, ["term", "n_docs"], filter=filt)
+            if tb is None:
+                continue
+            for t, nd in zip(tb.column("term").to_pylist(),
+                             tb.column("n_docs").to_pylist()):
+                df_by_term[t] = df_by_term.get(t, 0) + int(nd)
+        idf_map = {
+            t: float(np.log(1.0 + (float(n_docs) - df + 0.5) / (df + 0.5)))
+            for t, df in df_by_term.items()}
+        dfs = None
+    else:
+        dfs = (
+            pruned_segs.groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
+            .withColumn(
+                "idf",
+                F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .select("term", "idf")
         )
-        .select("term", "idf")
-    )
     # one (term -> leaf list) map broadcast to the decode kernels: the
     # round-5 plan joined qdf onto the segment rows BEFORE the decode,
     # so a term referenced by L query leaves shipped its blocks bytes
@@ -873,17 +898,16 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
             (int(row.query_id), int(row.slot), int(row.tidx),
              float(row.weight), bool(row.is_phrase), int(row.n_terms),
              int(row.slop)))
-    leaf_bc = spark.sparkContext.broadcast(leaf_map)
+    leaf_bc = spark.sparkContext.broadcast((leaf_map, idf_map))
 
-    hits = (
-        pruned_segs.select("term", "blocks")
-        .join(F.broadcast(dfs), "term")
-    )
+    hits = pruned_segs.select("term", "blocks")
+    if dfs is not None:
+        hits = hits.join(F.broadcast(dfs), "term")
 
     k1, b = cfg.k1, cfg.b
 
     def decode_score(batches):
-        lm = leaf_bc.value
+        lm, idfs = leaf_bc.value
         for pdf in batches:
             out = {c: [] for c in
                    ("query_id", "doc_ord", "slot", "tidx", "n_terms",
@@ -895,11 +919,12 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
                 docs, tfs, dls = decode_blocks(row.blocks)
                 if docs.size == 0:
                     continue
+                idf = idfs[row.term] if idfs is not None else row.idf
                 denom = tfs + k1 * (1.0 - b + b * (dls / avgdl))
                 n = docs.size
                 for (query_id, slot, tidx, weight, is_phrase, n_terms,
                      _slop) in leaves:
-                    w = weight * row.idf * (k1 + 1.0) * tfs / denom
+                    w = weight * idf * (k1 + 1.0) * tfs / denom
                     out["query_id"].append(np.full(n, query_id, dtype=np.int32))
                     out["doc_ord"].append(docs)
                     out["slot"].append(np.full(n, slot, dtype=np.int32))
@@ -947,7 +972,7 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
             # re-decodes its blocks P times)
             from sparkbm25.codec import decode_block, decode_block_positions
 
-            lm = leaf_bc.value
+            lm, idfs = leaf_bc.value
             for pdf in batches:
                 out = {c: [] for c in ("query_id", "doc_ord", "slot",
                                        "tidx", "slop", "score", "positions")}
@@ -955,6 +980,7 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
                     leaves = [l for l in lm.get(row.term, ()) if l[4]]
                     if not leaves:
                         continue
+                    idf = idfs[row.term] if idfs is not None else row.idf
                     for blk in row.blocks:
                         docs, tfs, dls = decode_block(blk)
                         if docs.size == 0:
@@ -969,7 +995,7 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
                         n = docs.size
                         for (query_id, slot, tidx, weight, _isp,
                              _n_terms, slop) in leaves:
-                            w = weight * row.idf * (k1 + 1.0) * tfs / denom
+                            w = weight * idf * (k1 + 1.0) * tfs / denom
                             out["query_id"].append(
                                 np.full(n, query_id, dtype=np.int32))
                             out["doc_ord"].append(docs)
@@ -1302,23 +1328,44 @@ def search_batch(
         )
 
     # per-partition partial top-k before the per-query shuffle: the
-    # final window only sees <= k rows per (query, partition).
+    # final merge only sees <= k rows per (query, partition).
     kmax = max(p.k for p in plans)
 
     def partial_topk(batches):
-        state: dict[int, pd.DataFrame] = {}
-        for pdf in batches:
-            for qid, g in pdf.groupby("query_id", sort=False):
-                cur = state.get(qid)
-                both = pd.concat([cur, g]) if cur is not None else g
-                both = both.sort_values(
-                    ["score", "doc_ord"], ascending=[False, True], kind="mergesort"
-                ).head(kmax)
-                state[qid] = both
-        if state:
-            yield pd.concat(state.values(), ignore_index=True)
+        # one numpy pass per partition (round 5 ran a pandas
+        # groupby+concat+sort PER BATCH — interpreter-bound at the
+        # 36M-row sf1 rollup): buffer the narrow columns, one lexsort
+        # (query asc, score desc, doc asc — a total order: (query,
+        # doc) pairs are unique per partition after the rollup), keep
+        # group-rank < kmax. Exact, like the sort it replaces.
+        import pyarrow as pa
 
-    reduced = scored.mapInPandas(
+        qs, ds, ss = [], [], []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ni = {n: i for i, n in enumerate(rb.schema.names)}
+            qs.append(rb.column(ni["query_id"]).to_numpy(zero_copy_only=False))
+            ds.append(rb.column(ni["doc_ord"]).to_numpy(zero_copy_only=False))
+            ss.append(rb.column(ni["score"]).to_numpy(zero_copy_only=False))
+        if not qs:
+            return
+        q = np.concatenate(qs)
+        d = np.concatenate(ds)
+        s = np.concatenate(ss)
+        order = np.lexsort((d, -s, q))
+        q, d, s = q[order], d[order], s[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        rank = (np.arange(q.size, dtype=np.int64)
+                - np.repeat(starts, np.diff(np.r_[starts, q.size])))
+        keep = rank < kmax
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(q[keep].astype(np.int32), type=pa.int32()),
+             pa.array(d[keep], type=pa.int64()),
+             pa.array(s[keep], type=pa.float64())],
+            names=["query_id", "doc_ord", "score"])
+
+    reduced = scored.mapInArrow(
         partial_topk, schema="query_id int, doc_ord bigint, score double")
 
     # the constant-score stream (filter-only + pure-negative queries)
@@ -1336,25 +1383,55 @@ def search_batch(
             .select("query_id", "doc_ord", F.lit(1.0).alias("score")))
         reduced = reduced.unionByName(const_reduced)
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
-    topk = (
-        reduced.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= F.lit(kmax))
-    )
-    # per-query k (may differ): join and refilter
-    kq = spark.createDataFrame(
-        pd.DataFrame({"query_id": [p.qid for p in plans],
-                      "k": [p.k for p in plans]}),
-        schema="query_id int, k int")
-    topk = topk.join(F.broadcast(kq), "query_id").where(
-        F.col("rank") <= F.col("k")).drop("k")
+    # final exact top-k merge over the reduced stream (<= kmax rows per
+    # (query, partition) — thousands of rows, not millions). With no
+    # constant-score stream the merge runs on the DRIVER in one numpy
+    # pass instead of a per-query window: one whole Spark
+    # shuffle+sort stage disappears from the common path, and the
+    # collect moves the same <= q×k×P narrow rows the window's input
+    # exchange already moved. The constant-score branch keeps the JVM
+    # window (its pre-window row counts are unbounded).
+    kbyq = {int(p.qid): int(p.k) for p in plans}
+    if const_rows is None:
+        pdf = reduced.toPandas()
+        if len(pdf):
+            q = pdf["query_id"].to_numpy()
+            d = pdf["doc_ord"].to_numpy()
+            s = pdf["score"].to_numpy()
+            order = np.lexsort((d, -s, q))
+            q, d, s = q[order], d[order], s[order]
+            starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+            rank = (np.arange(q.size, dtype=np.int64)
+                    - np.repeat(starts, np.diff(np.r_[starts, q.size])) + 1)
+            kvec = np.asarray([kbyq.get(int(x), kmax) for x in q],
+                              dtype=np.int64)
+            keep = rank <= kvec
+            topk_pdf = pd.DataFrame({
+                "query_id": q[keep], "doc_ord": d[keep],
+                "score": s[keep], "rank": rank[keep].astype(np.int32)})
+        else:
+            topk_pdf = pdf.assign(rank=pd.Series(dtype="int32"))
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_ord"))
+        topk = (
+            reduced.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= F.lit(kmax))
+        )
+        # per-query k (may differ): join and refilter
+        kq = spark.createDataFrame(
+            pd.DataFrame({"query_id": [p.qid for p in plans],
+                          "k": [p.k for p in plans]}),
+            schema="query_id int, k int")
+        topk = topk.join(F.broadcast(kq), "query_id").where(
+            F.col("rank") <= F.col("k")).drop("k")
 
-    # resolve doc_ord -> (conv_id, turn_idx): collect the tiny top-k
-    # once (<= k per query) so the expensive decode/score/topk pipeline
-    # runs exactly ONE action, then push the key set down to the
-    # forward-table scan (analog of ES point GET by id+routing,
-    # es_translator/es_translator.py:216-227).
-    topk_pdf = topk.toPandas()
+        # resolve doc_ord -> (conv_id, turn_idx): collect the tiny
+        # top-k once (<= k per query) so the expensive
+        # decode/score/topk pipeline runs exactly ONE action, then
+        # push the key set down to the forward-table scan (analog of
+        # ES point GET by id+routing, es_translator.py:216-227).
+        topk_pdf = topk.toPandas()
     if persisted is not None:
         persisted.unpersist()
     if topk_pdf.empty:
