@@ -249,13 +249,41 @@ def decode_block_positions(block, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def decode_blocks(blocks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Concatenate-decode a list of blocks (assumed doc_ord-ordered)."""
+    """Concatenate-decode a list of blocks (assumed doc_ord-ordered).
+
+    ONE batched varint pass per stream over the concatenated blobs
+    plus a grouped cumsum with a reset at each block start — the same
+    shape as the driver cache's eager decode (round-3 finding: at
+    128-doc blocks, per-block numpy-call overhead ≈ 100 µs dominates;
+    a hot term's 20k+ blocks cost seconds per-block but ~50 ms
+    batched). Outputs bit-identical to the per-block loop."""
     if blocks is None or len(blocks) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    parts = [decode_block(blk) for blk in blocks]
-    return (
-        np.concatenate([p[0] for p in parts]),
-        np.concatenate([p[1] for p in parts]),
-        np.concatenate([p[2] for p in parts]),
-    )
+    first = blocks[0]
+    get = ((lambda blk, k: blk[k]) if isinstance(first, dict)
+           else (lambda blk, k: getattr(blk, k)))
+    m = len(blocks)
+    firsts = np.fromiter((get(b, "first_doc") for b in blocks),
+                         dtype=np.int64, count=m)
+    ns = np.fromiter((get(b, "n") for b in blocks), dtype=np.int64, count=m)
+    gaps = varint_decode(b"".join(get(b, "gaps") for b in blocks),
+                         dtype=np.int64)
+    tfs = varint_decode(b"".join(get(b, "tfs") for b in blocks),
+                        dtype=np.int64)
+    dls = varint_decode(b"".join(get(b, "dls") for b in blocks),
+                        dtype=np.int64)
+    total = int(ns.sum())
+    starts = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(ns, out=starts[1:])
+    bs = starts[:-1]
+    docs = np.empty(total, dtype=np.int64)
+    if total:
+        mask = np.ones(total, dtype=bool)
+        mask[bs] = False
+        docs[mask] = gaps
+        docs[bs] = firsts
+        cs = np.cumsum(docs)
+        base = (cs[bs] - docs[bs]).astype(np.int64)
+        docs = cs - np.repeat(base, ns)
+    return docs, tfs, dls

@@ -73,10 +73,10 @@ class _QueryPlan:
     function over the per-doc matched-leaf bitmask."""
 
     __slots__ = ("qid", "k", "filters", "neg_filters", "leaves", "accept",
-                 "accept_empty")
+                 "accept_empty", "accept_trivial")
 
     def __init__(self, qid, k, filters, neg_filters, leaves, accept,
-                 accept_empty=False):
+                 accept_empty=False, accept_trivial=False):
         self.qid = qid
         self.k = k
         self.filters = filters
@@ -88,6 +88,11 @@ class _QueryPlan:
         # 'NOT spam') — such docs have no posting rows and must come
         # from the forward table instead (ES/Lucene semantics)
         self.accept_empty = accept_empty
+        # accept is PROVABLY true for every emitted posting row (the
+        # implicit-OR `mask != 0` — every row matched >= 1 leaf by
+        # construction): lets the batch path skip the mask machinery
+        # entirely for plain disjunctions
+        self.accept_trivial = accept_trivial
 
     @property
     def has_positive(self) -> bool:
@@ -125,6 +130,7 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
         k = int(getattr(q, "k", default_k) or default_k)
         parsed = qs.parse_query_string(q.query_text, cfg.token_pattern)
         accept_empty = False
+        accept_trivial = False
         leaves: list[dict] = []
         if not parsed.explicit:
             counts = Counter(tokenize_one(parsed.text, cfg.token_pattern))
@@ -138,6 +144,8 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
                           m.bitwiseAND(F.lit(full)) == F.lit(full))
             else:
                 accept = (lambda m: m != 0)
+                # every posting row matched >= 1 leaf by construction
+                accept_trivial = nslots > 0
             if nslots == 0:
                 accept = None
         else:
@@ -219,7 +227,8 @@ def _compile_queries(queries: pd.DataFrame, cfg: IndexConfig, mode: str,
         if len(leaves) > 62:
             raise ValueError(f"query {qid}: more than 62 leaves")
         plans.append(_QueryPlan(qid, k, parsed.filters, parsed.neg_filters,
-                                leaves, accept, accept_empty))
+                                leaves, accept, accept_empty,
+                                accept_trivial))
     return plans
 
 
@@ -817,11 +826,19 @@ def _plans_to_rows(plans: list[_QueryPlan]) -> pd.DataFrame:
 
 
 def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
-                 cfg: IndexConfig, n_docs: int, avgdl: float) -> DataFrame:
+                 cfg: IndexConfig, n_docs: int, avgdl: float,
+                 lean: bool = False,
+                 single_leaf_k: dict[int, int] | None = None) -> DataFrame:
     """The posting-derived scoring pipeline: pruned segment scan →
-    broadcast query/df join → vectorized block decode + BM25 → (phrase
-    verification) → per-(query, doc) rollup. Returns
-    (query_id, doc_ord, score, mask) — every doc matching >=1 leaf."""
+    vectorized block decode + BM25 (plan and idf ride one broadcast) →
+    (phrase verification) → per-(query, doc) rollup. Returns
+    (query_id, doc_ord, score, mask) — every doc matching >=1 leaf.
+
+    lean=True (no phrase leaves, no caller use of the mask — plain
+    disjunction batches): the kernel emits only (query_id, doc_ord,
+    score) and the rollup skips the bit_or — ~30% fewer bytes across
+    the Python boundary and through the one exchange, score values
+    bitwise identical (same rows, same order, same summation)."""
     any_phrase = bool(qp["is_phrase"].any())
     if any_phrase and not cfg.store_positions:
         raise ValueError(
@@ -906,12 +923,23 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
 
     k1, b = cfg.k1, cfg.b
 
+    lean_cols = ("query_id", "doc_ord", "score")
+    full_cols = ("query_id", "doc_ord", "slot", "tidx", "n_terms",
+                 "score", "is_phrase")
+    slk = single_leaf_k if lean else None
+
     def decode_score(batches):
         lm, idfs = leaf_bc.value
+        cols = lean_cols if lean else full_cols
+        # single-leaf (unfiltered) queries: a doc's whole score is ONE
+        # contribution from one block row, so a per-partition exact
+        # top-k is a valid pre-reduction regardless of file layout —
+        # these queries then ship k rows per partition through the
+        # rollup/reduce instead of millions (the hot single-term bench
+        # queries were ~1/3 of the sf1 rollup volume)
+        single: dict[int, list] = {}
         for pdf in batches:
-            out = {c: [] for c in
-                   ("query_id", "doc_ord", "slot", "tidx", "n_terms",
-                    "score", "is_phrase")}
+            out = {c: [] for c in cols}
             for row in pdf.itertuples(index=False):
                 leaves = lm.get(row.term)
                 if not leaves:
@@ -925,22 +953,47 @@ def _scored_rows(spark: SparkSession, index_dir: str, qp: pd.DataFrame,
                 for (query_id, slot, tidx, weight, is_phrase, n_terms,
                      _slop) in leaves:
                     w = weight * idf * (k1 + 1.0) * tfs / denom
+                    if slk is not None and query_id in slk:
+                        single.setdefault(query_id, []).append((docs, w))
+                        continue
                     out["query_id"].append(np.full(n, query_id, dtype=np.int32))
                     out["doc_ord"].append(docs)
-                    out["slot"].append(np.full(n, slot, dtype=np.int32))
-                    out["tidx"].append(np.full(n, tidx, dtype=np.int32))
-                    out["n_terms"].append(np.full(n, n_terms, dtype=np.int32))
                     out["score"].append(w)
-                    out["is_phrase"].append(
-                        np.full(n, is_phrase, dtype=bool))
+                    if not lean:
+                        out["slot"].append(np.full(n, slot, dtype=np.int32))
+                        out["tidx"].append(np.full(n, tidx, dtype=np.int32))
+                        out["n_terms"].append(
+                            np.full(n, n_terms, dtype=np.int32))
+                        out["is_phrase"].append(
+                            np.full(n, is_phrase, dtype=bool))
             if out["query_id"]:
                 yield pd.DataFrame(
                     {c: np.concatenate(v) for c, v in out.items()})
+        if single:
+            out = {c: [] for c in lean_cols}
+            for query_id, parts_q in single.items():
+                d = np.concatenate([p[0] for p in parts_q])
+                s = np.concatenate([p[1] for p in parts_q])
+                kq = slk[query_id]
+                if d.size > kq:
+                    head = np.lexsort((d, -s))[:kq]
+                    d, s = d[head], s[head]
+                out["query_id"].append(
+                    np.full(d.size, query_id, dtype=np.int32))
+                out["doc_ord"].append(d)
+                out["score"].append(s)
+            yield pd.DataFrame(
+                {c: np.concatenate(v) for c, v in out.items()})
 
     parts = hits.mapInPandas(
         decode_score,
-        schema="query_id int, doc_ord bigint, slot int, tidx int, "
-               "n_terms int, score double, is_phrase boolean")
+        schema=("query_id int, doc_ord bigint, score double" if lean else
+                "query_id int, doc_ord bigint, slot int, tidx int, "
+                "n_terms int, score double, is_phrase boolean"))
+    if lean:
+        # plain-disjunction fast shape: no mask, no phrase branch
+        return parts.groupBy("query_id", "doc_ord").agg(
+            F.sum("score").alias("score"))
 
     if any_phrase:
         term_rows = parts.where(~F.col("is_phrase")).select(
@@ -1226,12 +1279,27 @@ def search_batch(
             [(p.qid, filter_condition(p.filters, p.neg_filters))
              for p in fonly])
 
+    # lean shape: no phrase leaves and no consumer of the mask column
+    # (plain disjunctions with trivially-true acceptance — the common
+    # bulk-scoring batch). _scored_rows then skips the mask machinery
+    # end to end.
+    lean = (not bool(qp["is_phrase"].any()) if not qp.empty else False) \
+        and not negonly and not empty_ok \
+        and all(p.accept is None or p.accept_trivial for p in scored_plans)
+    # single-leaf unfiltered queries are eligible for the kernel's
+    # exact per-partition top-k pre-reduction (see decode_score)
+    single_leaf_k = {
+        int(p.qid): int(p.k) for p in scored_plans
+        if len(p.leaves) == 1 and p.leaves[0]["kind"] == "term"
+        and len(p.leaves[0]["terms"]) == 1
+        and not p.filters and not p.neg_filters} if lean else None
     if qp.empty:
         scored = spark.createDataFrame(
             [], "query_id int, doc_ord bigint, score double, mask bigint")
         persisted = None
     else:
-        scored = _scored_rows(spark, index_dir, qp, cfg, n_docs, avgdl)
+        scored = _scored_rows(spark, index_dir, qp, cfg, n_docs, avgdl,
+                              lean=lean, single_leaf_k=single_leaf_k)
         persisted = None
         if negonly or empty_ok:
             # `scored` is referenced a second time below (posting masks
@@ -1280,16 +1348,23 @@ def search_batch(
         scored = scored.unionByName(extra)
 
     # boolean acceptance: the per-query tree over the matched bitmask,
-    # compiled to one Catalyst predicate for the whole batch
-    accepts = None
-    for p in scored_plans:
-        if p.accept is None:
-            continue
-        cond = (F.col("query_id") == p.qid) & p.accept(F.col("mask"))
-        accepts = cond if accepts is None else (accepts | cond)
-    if accepts is not None:
-        scored = scored.where(accepts)
-    scored = scored.drop("mask")
+    # compiled to one Catalyst predicate for the whole batch.
+    # Trivially-true accepts (implicit-OR mask != 0) skip the mask
+    # evaluation — their rows pass through the isin-negation leg, NOT
+    # by omission from the per-query OR (omission would drop them) —
+    # and in the all-trivial lean shape there is no mask column at all.
+    if not lean:
+        nontrivial = [p for p in scored_plans
+                      if p.accept is not None and not p.accept_trivial]
+        if nontrivial:
+            conds = None
+            for p in nontrivial:
+                cond = (F.col("query_id") == p.qid) & p.accept(F.col("mask"))
+                conds = cond if conds is None else (conds | cond)
+            passthru = ~F.col("query_id").isin(
+                [int(p.qid) for p in nontrivial])
+            scored = scored.where(passthru | conds)
+        scored = scored.drop("mask")
 
     qfilters = {p.qid: (p.filters, p.neg_filters) for p in scored_plans
                 if p.filters or p.neg_filters}
