@@ -336,26 +336,34 @@ def test_stream_batch_replay_is_idempotent(spark, corpus, tmp_path):
     the committed generation's lineage and survives compaction via
     merged_lineages."""
     from sparkbm25.streaming import (_batch_already_applied,
+                                     _stream_batch_desc,
                                      compact_generations, update_index)
 
     a, b = corpus
     root = str(tmp_path / "replay")
+    qid = "11111111-2222-3333-4444-555555555555"
     cfg = IndexConfig(n_term_buckets=4, n_salt_buckets=2,
                       n_build_chunks=1, checkpoint_runs=False)
     update_index(spark, spark.createDataFrame(a), root, cfg,
-                 input_desc="stream_batch_0")
+                 input_desc=_stream_batch_desc(0, qid))
     update_index(spark, spark.createDataFrame(b), root, cfg,
-                 input_desc="stream_batch_1")
-    assert _batch_already_applied(root, 0)
-    assert _batch_already_applied(root, 1)
-    assert not _batch_already_applied(root, 2)
+                 input_desc=_stream_batch_desc(1, qid))
+    assert _batch_already_applied(root, 0, qid)
+    assert _batch_already_applied(root, 1, qid)
+    assert not _batch_already_applied(root, 2, qid)
+    # a DIFFERENT stream (fresh checkpoint, ids restart at 0) must NOT
+    # mistake its batch 0 for a replay of this stream's (ADVICE r5
+    # medium: the un-namespaced marker silently dropped real batches)
+    assert not _batch_already_applied(root, 0, "other-query-id")
+    assert not _batch_already_applied(root, 0, None)
     n_before = catalog.global_stats(root)["n_docs"]
     # ...and the markers survive the tiered merge
     compact_generations(spark, root)
     assert catalog.global_stats(root)["n_docs"] == n_before
-    assert _batch_already_applied(root, 0)
-    assert _batch_already_applied(root, 1)
-    assert not _batch_already_applied(root, 2)
+    assert _batch_already_applied(root, 0, qid)
+    assert _batch_already_applied(root, 1, qid)
+    assert not _batch_already_applied(root, 2, qid)
+    assert not _batch_already_applied(root, 0, "other-query-id")
 
 
 def test_read_docs_missing_index_raises_clearly(spark, tmp_path):
