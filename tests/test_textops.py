@@ -170,3 +170,49 @@ def test_minhash_lsh_bands_validated(spark, docs):
         textops.minhash_lsh_pairs(docs, n_hashes=12, bands=16)
     with pytest.raises(ValueError, match="must divide n_hashes"):
         textops.minhash_lsh_pairs(docs, n_hashes=12, bands=5)
+
+
+def test_minhash_signatures_match_catalyst_form(spark):
+    """The round-6 Arrow kernel must produce signatures bit-identical
+    to the TRUE-family Catalyst expression — family i prefixes every
+    shingle with '<i>:' like the DuckDB oracle twin does. (The round-5
+    Catalyst form wrote `lambda s, i=i:` — a two-argument lambda that
+    Spark's transform() feeds (element, ARRAY INDEX), silently
+    overriding the family id with the shingle position, so all
+    n_hashes signature elements were identical and the Spark banding
+    diverged from its own oracle's; the corpora never exposed a
+    candidate-set difference, which is why the hash checks passed.
+    The kernel restores the oracle's actual semantics.) Edge cases:
+    whole-doc shingle for short docs, '' shingle for empty/null docs,
+    unicode through the pandas tokenizer fallback."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "short doc"),                       # < shingle width
+        (2, ""),                                # empty -> '' shingle
+        (3, None),                              # null -> '' shingle
+        (4, "rep rep rep rep rep"),             # repeated tokens
+        (5, "MIXED Case! punct-uation 123"),
+        (6, "héllo wörld über tokens straße x"),  # unicode fallback
+        (7, "a b c a b c a b c"),               # repeated shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = (textops.minhash_signatures(df, n_hashes=5, shingle=3)
+           .toPandas().sort_values("id").reset_index(drop=True))
+    sh = textops.shingles_col(textops.tokens_col("text"), 3)
+
+    def family(i):
+        # single-argument lambda: transform() passes the ELEMENT only
+        return F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+
+    sig = F.array(*[family(i) for i in range(5)])
+    exp = (df.select(F.col("doc_id").alias("id"), sig.alias("sig"))
+           .toPandas().sort_values("id").reset_index(drop=True))
+    assert got["id"].tolist() == exp["id"].tolist()
+    for g, e in zip(got["sig"], exp["sig"]):
+        assert list(g) == list(e)
+    # the families are genuinely distinct now (the old degenerate form
+    # made every element equal whenever a doc had >= 2 shingles)
+    assert len(set(got["sig"].iloc[0])) > 1
